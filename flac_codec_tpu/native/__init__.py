@@ -1,0 +1,159 @@
+"""ctypes loader for the native host engine (flacnat.cpp).
+
+Compiles the C++ source on first use with g++ (no pybind11 — pure C ABI via
+ctypes) and caches the shared object next to the source.  All callers must
+tolerate ``load()`` returning ``None`` and fall back to pure-Python paths so
+the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "flacnat.cpp")
+_SO = os.path.join(_HERE, "libflacnat.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class Native:
+    """Typed wrapper over the C ABI in flacnat.cpp."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+
+        lib.nat_crc8.restype = ctypes.c_uint32
+        lib.nat_crc8.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.nat_crc16.restype = ctypes.c_uint32
+        lib.nat_crc16.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.nat_pack_symbols.restype = ctypes.c_uint64
+        lib.nat_pack_symbols.argtypes = [u8p, ctypes.c_uint64, u64p, u32p, ctypes.c_size_t]
+        lib.nat_pack_rice.restype = ctypes.c_uint64
+        lib.nat_pack_rice.argtypes = [u8p, ctypes.c_uint64, i32p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.nat_unpack_rice.restype = ctypes.c_uint64
+        lib.nat_unpack_rice.argtypes = [u8p, ctypes.c_uint64, i32p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.nat_unpack_signed.restype = ctypes.c_uint64
+        lib.nat_unpack_signed.argtypes = [u8p, ctypes.c_uint64, i64p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.nat_pack_signed.restype = ctypes.c_uint64
+        lib.nat_pack_signed.argtypes = [u8p, ctypes.c_uint64, i64p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.nat_append_bits.restype = ctypes.c_uint64
+        lib.nat_append_bits.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64]
+        lib.nat_lpc_predict64.restype = None
+        lib.nat_lpc_predict64.argtypes = [i64p, ctypes.c_size_t, i32p, ctypes.c_uint32, ctypes.c_uint32]
+        lib.nat_lpc_predict32.restype = None
+        lib.nat_lpc_predict32.argtypes = [i32p, ctypes.c_size_t, i32p, ctypes.c_uint32, ctypes.c_uint32]
+        lib.nat_lpc_residuals.restype = ctypes.c_int32
+        lib.nat_lpc_residuals.argtypes = [i64p, ctypes.c_size_t, i32p, ctypes.c_uint32, ctypes.c_uint32, i32p]
+
+    @staticmethod
+    def _u8(buf) -> "ctypes.POINTER(ctypes.c_uint8)":
+        return (ctypes.c_uint8 * len(buf)).from_buffer(buf) if isinstance(buf, bytearray) else \
+            ctypes.cast(ctypes.c_char_p(bytes(buf)), ctypes.POINTER(ctypes.c_uint8))
+
+    def crc8(self, data: bytes, crc: int = 0) -> int:
+        return self._lib.nat_crc8(
+            ctypes.cast(data, ctypes.POINTER(ctypes.c_uint8)), len(data), crc)
+
+    def crc16(self, data: bytes, crc: int = 0) -> int:
+        return self._lib.nat_crc16(
+            ctypes.cast(data, ctypes.POINTER(ctypes.c_uint8)), len(data), crc)
+
+    def pack_rice(self, out: np.ndarray, bitpos: int, res: np.ndarray, k: int) -> int:
+        res = np.ascontiguousarray(res, dtype=np.int32)
+        return self._lib.nat_pack_rice(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
+            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(res), k)
+
+    def unpack_rice(self, buf: np.ndarray, bitpos: int, n: int, k: int):
+        res = np.empty(n, dtype=np.int32)
+        end = self._lib.nat_unpack_rice(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
+            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, k)
+        return res, end
+
+    def unpack_signed(self, buf: np.ndarray, bitpos: int, n: int, width: int):
+        res = np.empty(n, dtype=np.int64)
+        end = self._lib.nat_unpack_signed(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
+            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, width)
+        return res, end
+
+    def pack_signed(self, out: np.ndarray, bitpos: int, vals: np.ndarray, width: int) -> int:
+        vals = np.ascontiguousarray(vals, dtype=np.int64)
+        return self._lib.nat_pack_signed(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(vals), width)
+
+    def pack_symbols(self, out: np.ndarray, bitpos: int,
+                     values: np.ndarray, nbits: np.ndarray) -> int:
+        values = np.ascontiguousarray(values, dtype=np.uint64)
+        nbits = np.ascontiguousarray(nbits, dtype=np.uint32)
+        return self._lib.nat_pack_symbols(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            nbits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(values))
+
+    def append_bits(self, out: np.ndarray, bitpos: int, src: np.ndarray, nbits: int) -> int:
+        return self._lib.nat_append_bits(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbits)
+
+    def lpc_predict64(self, x: np.ndarray, q: np.ndarray, shift: int) -> None:
+        qa = np.ascontiguousarray(q, dtype=np.int32)
+        self._lib.nat_lpc_predict64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(x),
+            qa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(qa), shift)
+
+    def lpc_predict32(self, x: np.ndarray, q: np.ndarray, shift: int) -> None:
+        qa = np.ascontiguousarray(q, dtype=np.int32)
+        self._lib.nat_lpc_predict32(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(x),
+            qa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(qa), shift)
+
+    def lpc_residuals(self, x: np.ndarray, q: np.ndarray, shift: int):
+        x = np.ascontiguousarray(x, dtype=np.int64)
+        qa = np.ascontiguousarray(q, dtype=np.int32)
+        n = len(x) - len(qa)
+        res = np.empty(max(n, 0), dtype=np.int32)
+        overflow = self._lib.nat_lpc_residuals(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(x),
+            qa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(qa), shift,
+            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return (None if overflow else res)
+
+
+def load() -> Native | None:
+    """Build (if needed) and load the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _tried:
+            return None
+        _tried = True
+        if os.environ.get("FLAC_TPU_NO_NATIVE"):
+            return None
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"],
+                    check=True, capture_output=True)
+                os.replace(_SO + ".tmp", _SO)
+            _lib = Native(ctypes.CDLL(_SO))
+            return _lib
+        except Exception:
+            return None

@@ -225,3 +225,8 @@ class ExcessiveTotalSamples(FlacError):
 
 class TotalSamplesMismatch(FlacError):
     """Finalized sample count differs from the declared total."""
+
+
+class ExcessiveWastedBits(FlacError):
+    """Wasted bits >= subframe bits-per-sample (reference: decode.rs
+    ExcessiveWastedBits)."""

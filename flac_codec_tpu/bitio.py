@@ -112,6 +112,14 @@ class BitWriter:
                     self.write(u & ((1 << k) - 1), k)
 
     def write_signed_array(self, values: np.ndarray, width: int) -> None:
+        """Write two's-complement values; raises OverflowError when a value
+        does not fit (mirrors bitstream-io's checked signed writes, which the
+        reference encoder relies on to reject impossible escape codes)."""
+        if len(values):
+            v = np.asarray(values)
+            lo, hi = -(1 << (width - 1)), (1 << (width - 1)) - 1
+            if int(v.min()) < lo or int(v.max()) > hi:
+                raise OverflowError(f"value out of range for {width}-bit write")
         nat = _native()
         if nat is not None and len(values) > 8 and width > 0:
             vals = np.ascontiguousarray(values, dtype=np.int64)

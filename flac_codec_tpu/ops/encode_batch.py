@@ -1,0 +1,233 @@
+"""Batched frame-encode planner (device plane).
+
+Turns a batch of PCM frames (B, C, N) into a complete per-frame encoding
+plan — channel assignment, subframe types/orders/coefficients, Rice
+partitioning and residuals — entirely on device.  This is the TPU
+re-expression of the reference's per-frame candidate search
+(reference: src/encode.rs:2259-2980): the rayon "race" between candidates
+becomes "compute all candidates for the whole batch, argmin-select", which
+is how the search maps onto a wide vector machine.
+
+Host code (parallel.batch) turns plans into FLAC bits via the native
+packing engine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.lpc import precision_for_block_size
+from . import decorrelate, fixed, lpc, rice
+from .common import BIG
+
+TYPE_CONSTANT = 0
+TYPE_VERBATIM = 1
+TYPE_FIXED = 2
+TYPE_LPC = 3
+
+
+def _wasted_bits(x: jnp.ndarray):
+    """(B, N) int64 -> (wasted (B,) int32, all_zero (B,) bool).
+
+    Minimum trailing zeros when every sample has at least one; 32 when the
+    channel is silent (reference: src/encode.rs:2877-2898).
+    """
+    u = jnp.bitwise_and(x, 0xFFFFFFFF).astype(jnp.uint32)
+    low = jnp.bitwise_and(u, (~u + jnp.uint32(1)))  # lowest set bit
+    # trailing zeros = 31 - clz(lowest set bit); zero -> 32
+    tz = jnp.where(
+        u == 0, 32,
+        31 - jax.lax.clz(jnp.where(low == 0, jnp.uint32(1), low))
+        .astype(jnp.int32))
+    min_tz = jnp.min(tz, axis=1)
+    all_zero = min_tz >= 32
+    wasted = jnp.where(min_tz >= 32, 0, min_tz)
+    return wasted.astype(jnp.int32), all_zero
+
+
+def _analyze_channel(x: jnp.ndarray, bps: int, win: jnp.ndarray,
+                     max_lpc_order, block_size: int,
+                     max_partition_order: int, use_rice2: bool):
+    """Full subframe candidate analysis for one candidate channel.
+
+    Returns a plan dict of batched arrays (see encode_frames_plan).
+    """
+    B, N = x.shape
+    rice_max = 31 if use_rice2 else 15
+
+    wasted, all_zero = _wasted_bits(x)
+    xs = jax.lax.shift_right_arithmetic(x, wasted.astype(jnp.int64)[:, None])
+    bps_eff = bps - wasted  # (B,)
+    header_bits = 8 + jnp.where(wasted > 0, wasted, 0)
+
+    # ---- FIXED candidate ----
+    diffs, dvalid = fixed.diff_cascade(xs)
+    ford, fres = fixed.best_order(diffs, dvalid)
+    fplan = rice.search(fres, ford, block_size, max_partition_order, rice_max)
+    fixed_bits = (header_bits.astype(jnp.int64)
+                  + ford.astype(jnp.int64) * bps_eff
+                  + fplan["exact_bits"])
+    fixed_bits = jnp.where(fplan["exact_bits"] >= BIG, BIG, fixed_bits)
+
+    # ---- LPC candidate ----
+    if max_lpc_order is not None:
+        lp = lpc.analyze(xs, win, max_lpc_order, bps_eff, block_size)
+        lplan = rice.search(lp["residuals"], lp["order"], block_size,
+                            max_partition_order, rice_max)
+        precision = lp["precision"]
+        lpc_bits = (header_bits.astype(jnp.int64)
+                    + lp["order"].astype(jnp.int64) * bps_eff
+                    + 4 + 5 + lp["order"].astype(jnp.int64) * precision
+                    + lplan["exact_bits"])
+        lpc_bits = jnp.where(lp["valid"] & (lplan["exact_bits"] < BIG),
+                             lpc_bits, BIG)
+    else:
+        lp = {
+            "order": jnp.zeros(B, jnp.int32),
+            "shift": jnp.zeros(B, jnp.int32),
+            "qcoeffs": jnp.zeros((B, lpc.MAX_ORDER), jnp.int32),
+            "residuals": jnp.zeros((B, N), jnp.int64),
+            "precision": precision_for_block_size(block_size),
+        }
+        lplan = {k: jnp.zeros_like(v) for k, v in fplan.items()}
+        lpc_bits = jnp.full(B, BIG, jnp.int64)
+
+    # ---- candidate choice (reference: src/encode.rs:2902-2979) ----
+    use_lpc = lpc_bits < fixed_bits  # tie -> fixed
+    pred_bits = jnp.minimum(fixed_bits, lpc_bits)
+    verbatim_cmp = (N * bps_eff).astype(jnp.int64)
+    verbatim_bits = header_bits.astype(jnp.int64) + verbatim_cmp
+
+    sub_type = jnp.where(
+        all_zero, TYPE_CONSTANT,
+        jnp.where(pred_bits < verbatim_cmp,
+                  jnp.where(use_lpc, TYPE_LPC, TYPE_FIXED),
+                  TYPE_VERBATIM))
+    subframe_bits = jnp.where(
+        all_zero, 8 + bps,
+        jnp.where(pred_bits < verbatim_cmp, pred_bits, verbatim_bits))
+
+    order = jnp.where(sub_type == TYPE_LPC, lp["order"],
+                      jnp.where(sub_type == TYPE_FIXED, ford.astype(jnp.int32),
+                                0))
+
+    def pick(fa, la):
+        return jnp.where((sub_type == TYPE_LPC).reshape(
+            (-1,) + (1,) * (fa.ndim - 1)), la, fa)
+
+    plan_kinds = pick(fplan["kinds"], lplan["kinds"])
+    plan_params = pick(fplan["params"], lplan["params"])
+    plan_po = pick(fplan["po"], lplan["po"])
+    residuals = pick(fres, lp["residuals"]).astype(jnp.int32)
+
+    # rice2 shrink-back (reference: src/encode.rs:3910-3961): when every
+    # non-escaped partition's parameter fits 4 bits, use method 0 and save
+    # one header bit per partition
+    if use_rice2:
+        parts = jnp.int64(1) << plan_po.astype(jnp.int64)
+        live = jnp.arange(rice.MAX_PARTITIONS)[None, :] < parts[:, None]
+        big_rice = live & (plan_kinds == rice.KIND_RICE) & (plan_params >= 15)
+        can_shrink = ~big_rice.any(axis=1)
+        rice_bits = jnp.where(can_shrink, 4, 5).astype(jnp.int32)
+        shrink_save = jnp.where(can_shrink, parts, 0)
+        is_pred = (sub_type == TYPE_FIXED) | (sub_type == TYPE_LPC)
+        subframe_bits = jnp.where(is_pred, subframe_bits - shrink_save,
+                                  subframe_bits)
+    else:
+        rice_bits = jnp.full(B, 4, jnp.int32)
+
+    return {
+        "sub_type": sub_type.astype(jnp.uint8),
+        "wasted": wasted.astype(jnp.uint8),
+        "order": order.astype(jnp.uint8),
+        "shift": lp["shift"].astype(jnp.int8),
+        "qcoeffs": lp["qcoeffs"],
+        "precision": jnp.full(B, lp["precision"], jnp.uint8),
+        "po": plan_po.astype(jnp.uint8),
+        "kinds": plan_kinds,
+        "params": plan_params,
+        "rice_bits": rice_bits.astype(jnp.uint8),
+        "residuals": residuals,
+        "subframe_bits": subframe_bits,
+    }
+
+
+def _gather_plans(plans, src):
+    """Select plan[src[b]] per batch entry from a list of 4 channel plans."""
+    out = {}
+    for key in plans[0]:
+        stacked = jnp.stack([p[key] for p in plans], axis=1)  # (B, 4, ...)
+        idx = src.reshape((-1, 1) + (1,) * (stacked.ndim - 2)).astype(jnp.int32)
+        out[key] = jnp.squeeze(
+            jnp.take_along_axis(stacked, idx, axis=1), axis=1)
+    return out
+
+
+@partial(jax.jit, static_argnames=("bits_per_sample", "block_size",
+                                   "max_lpc_order", "max_partition_order",
+                                   "mid_side", "exhaustive", "window_kind"))
+def encode_frames_plan(pcm: jnp.ndarray, *, bits_per_sample: int,
+                       block_size: int, max_lpc_order,
+                       max_partition_order: int, mid_side: bool = True,
+                       exhaustive: bool = True,
+                       window_kind=("tukey", 0.5)):
+    """Plan encoding for a batch of frames.
+
+    pcm: (B, C, N) int32.  Returns a dict of batched arrays:
+      assignment (B,) uint8 channel-assignment code
+      channels: list of per-output-channel plan dicts (len C for
+                independent layouts, 2 for stereo)
+    """
+    B, C, N = pcm.shape
+    assert N == block_size
+    use_rice2 = bits_per_sample > 16
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    win = lpc.window_array(window_kind, N, dtype)
+
+    analyze = partial(_analyze_channel, win=win, max_lpc_order=max_lpc_order,
+                      block_size=block_size,
+                      max_partition_order=max_partition_order,
+                      use_rice2=use_rice2)
+
+    if C == 2 and bits_per_sample < 32:
+        cands = decorrelate.candidates(pcm)  # (B, 4, N) [L, R, M, S]
+        bps4 = decorrelate.candidate_bps(bits_per_sample)
+        assignments = decorrelate.ASSIGNMENTS if mid_side else \
+            decorrelate.ASSIGNMENTS[:3]
+
+        plans = [analyze(cands[:, i], bps4[i]) for i in range(4)]
+
+        if exhaustive:
+            totals = jnp.stack(
+                [plans[c0]["subframe_bits"] + plans[c1]["subframe_bits"]
+                 for _, c0, c1 in assignments], axis=1)
+            choice = jnp.argmin(totals, axis=1)  # ties -> reference order
+        else:
+            # fast abs-sum rule (reference: src/encode.rs:2463-2674)
+            sums = jnp.abs(cands).sum(axis=2)  # (B, 4)
+            if mid_side:
+                cand_order = [(0b0001, 0, 1), (0b1000, 0, 3),
+                              (0b1001, 3, 1), (0b1010, 2, 3)]
+            else:
+                cand_order = [(0b1000, 0, 3), (0b1001, 3, 1), (0b0001, 0, 1)]
+            assignments = tuple(cand_order)
+            totals = jnp.stack([sums[:, c0] + sums[:, c1]
+                                for _, c0, c1 in assignments], axis=1)
+            choice = jnp.argmin(totals, axis=1)
+
+        codes = jnp.asarray([a[0] for a in assignments], jnp.uint8)
+        src0 = jnp.asarray([a[1] for a in assignments], jnp.int32)
+        src1 = jnp.asarray([a[2] for a in assignments], jnp.int32)
+        assignment = codes[choice]
+        ch0 = _gather_plans(plans, src0[choice])
+        ch1 = _gather_plans(plans, src1[choice])
+        return {"assignment": assignment, "channels": [ch0, ch1]}
+
+    # independent layout (mono, >2 channels, or 32 bps stereo)
+    assignment = jnp.full(B, C - 1, jnp.uint8)
+    chans = [analyze(pcm[:, c].astype(jnp.int64), bits_per_sample)
+             for c in range(C)]
+    return {"assignment": assignment, "channels": chans}

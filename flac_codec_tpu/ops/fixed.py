@@ -1,0 +1,75 @@
+"""Batched FIXED predictor analysis (orders 0-4).
+
+Mirrors the reference's diff cascade with i32-overflow abort and
+min-abs-sum-over-common-suffix order choice (reference:
+src/encode.rs:3020-3088), vectorized over (batch,) channels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+I32_MAX = (1 << 31) - 1
+I32_MIN = -(1 << 31)
+
+
+def diff_cascade(x: jnp.ndarray):
+    """(B, N) int64 -> (diffs (B, 5, N) int64, valid (B, 5) bool).
+
+    Order-k diffs occupy positions k..N-1 (positions < k are zero).
+    ``valid[b, k]`` is False when order k's diffs overflowed i32 (which
+    also invalidates every higher order) or the buffer would be empty.
+    """
+    B, N = x.shape
+    diffs = [x]
+    valid = [jnp.ones(B, dtype=bool)]
+    cur = x
+    for k in range(1, 5):
+        nxt = jnp.zeros_like(cur)
+        d = cur[:, 1:] - cur[:, :-1]
+        nxt = nxt.at[:, 1:].set(d)
+        # zero the positions below the order (they hold stale lower-order data)
+        idx = jnp.arange(N)
+        nxt = jnp.where(idx[None, :] >= k, nxt, 0)
+        ok = valid[-1] & (N - k >= 1) & \
+            (jnp.max(jnp.where(idx[None, :] >= k, nxt, 0), axis=1) <= I32_MAX) & \
+            (jnp.min(jnp.where(idx[None, :] >= k, nxt, 0), axis=1) >= I32_MIN)
+        diffs.append(nxt)
+        valid.append(ok)
+        cur = nxt
+    return jnp.stack(diffs, axis=1), jnp.stack(valid, axis=1)
+
+
+def best_order(diffs: jnp.ndarray, valid: jnp.ndarray):
+    """Choose the order minimizing the abs-sum over the common suffix
+    (ties -> lowest order).
+
+    Returns (order (B,), residuals (B, N) of the chosen order laid out at
+    positions order..N-1).
+    """
+    B, K, N = diffs.shape
+    idx = jnp.arange(N)
+    order_ids = jnp.arange(K)
+    a = jnp.abs(diffs) * (idx[None, None, :] >= order_ids[None, :, None])
+    totals = a.sum(axis=2)  # (B, 5)
+
+    # last valid order per batch entry
+    last_valid = jnp.max(jnp.where(valid, order_ids[None, :], 0), axis=1)  # (B,)
+
+    # prefix sums of the first j in-order elements of each buffer, j in 0..4:
+    # element j of buffer k sits at position k + j
+    # prefix[b, k, j] = sum of first j elements of buffer k
+    firsts = jnp.stack(
+        [jnp.where((idx[None, None, :] >= order_ids[None, :, None])
+                   & (idx[None, None, :] < order_ids[None, :, None] + j),
+                   jnp.abs(diffs), 0).sum(axis=2)
+         for j in range(5)], axis=2)  # (B, 5, 5)
+
+    skip = jnp.clip(last_valid[:, None] - order_ids[None, :], 0, 4)  # (B, 5)
+    suffix_sums = totals - jnp.take_along_axis(firsts, skip[:, :, None],
+                                               axis=2)[:, :, 0]
+    suffix_sums = jnp.where(valid, suffix_sums, jnp.int64(1) << 62)
+    order = jnp.argmin(suffix_sums, axis=1)  # first minimum -> lowest order
+    residuals = jnp.take_along_axis(
+        diffs, order[:, None, None], axis=1)[:, 0]
+    return order, residuals

@@ -1,0 +1,188 @@
+"""Batched Rice partition search (device plane).
+
+Mirrors the reference's estimated-bits cost model and partition-order
+search (reference: src/encode.rs:3747-3962) as a power-of-two reduction
+tree over the batch: per-partition abs sums for every candidate order come
+from log2(parts) pairwise folds of one base reduction.
+
+Output is a fixed-shape partition plan: kinds/params padded to
+MAX_PARTITIONS=64, plus the EXACT serialized bit count per subframe (the
+reference compares exact recorded bits between candidates, while choosing
+the partition order by the estimate — both are reproduced here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .common import BIG
+
+MAX_PARTITIONS = 64
+U32_MAX = (1 << 32) - 1
+
+KIND_RICE = 0
+KIND_ESCAPE = 1
+KIND_CONSTANT = 2
+
+
+def _partition_orders(block_size: int, max_partition_order: int):
+    tz = (block_size & -block_size).bit_length() - 1
+    max_po = min(tz, max_partition_order, 6)  # 2^6 = 64 = MAX_PARTITIONS
+    return list(range(0, max_po + 1))
+
+
+def zigzag(res: jnp.ndarray) -> jnp.ndarray:
+    """Signed residual -> unsigned Rice symbol (reference zigzag:
+    src/stream.rs:2946-2958)."""
+    return jnp.where(res < 0, ((-res - 1) << 1) + 1, res << 1).astype(jnp.uint64)
+
+
+def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
+           max_partition_order: int, rice_max: int):
+    """Choose partition order + per-partition coding for a batch.
+
+    res: (B, N) int64 residuals laid out at positions order..N-1 (zeros
+    below).  order: (B,) predictor order (partition 0 is shorter by it).
+
+    Returns dict:
+      po (B,) chosen partition order
+      kinds (B, 64) uint8   (rice / escape / constant; valid for first 2^po)
+      params (B, 64) int32  (rice parameter or escape size)
+      exact_bits (B,)       exact serialized residual-section bits
+                            (2 method + 4 order + partitions)
+    """
+    B, N = res.shape
+    pos = jnp.arange(N)
+    abs_res = jnp.abs(res)
+    pos_orders = _partition_orders(block_size, max_partition_order)
+    max_po = pos_orders[-1]
+    max_parts = 1 << max_po
+
+    # base reduction at the finest granularity
+    base = abs_res.reshape(B, max_parts, N // max_parts).sum(axis=2)  # (B,P)
+    # per-level sums, level i has 2^i partitions
+    sums_by_level = [None] * (max_po + 1)
+    sums_by_level[max_po] = base
+    for lvl in range(max_po - 1, -1, -1):
+        s = sums_by_level[lvl + 1]
+        sums_by_level[lvl] = s.reshape(B, -1, 2).sum(axis=2)
+
+    total_bits_by_level = []
+    plans = []  # (kinds (B,64), params (B,64)) per level
+    for po in pos_orders:
+        parts = 1 << po
+        part_len = block_size // parts
+        s = sums_by_level[po].astype(jnp.int64)  # (B, parts)
+        n = jnp.full((B, parts), part_len, jnp.int64)
+        n = n.at[:, 0].add(-order.astype(jnp.int64))
+
+        valid_lens = n[:, 0] > 0  # (B,)
+
+        is_zero = s == 0
+        gt = s > n
+        ratio = s.astype(jnp.float64 if jax.config.jax_enable_x64
+                         else jnp.float32) / n.astype(
+                             jnp.float64 if jax.config.jax_enable_x64
+                             else jnp.float32)
+        bits_needed = jnp.ceil(jnp.log2(jnp.where(gt, ratio, 1.0))
+                               ).astype(jnp.int64)
+        use_escape = gt & (bits_needed >= rice_max)
+        rice = jnp.where(gt & ~use_escape, bits_needed, 0)
+
+        # escape size = ilog2(sum) + 2  (floor log2 of a positive int)
+        ilog2 = (63 - jnp.clip(
+            jax.lax.clz(jnp.where(s > 0, s, 1).astype(jnp.uint64))
+            .astype(jnp.int64), 0, 63))
+        escape_size = ilog2 + 2
+        escape_ok = escape_size <= 31
+
+        tail = jnp.where(rice > 0,
+                         jax.lax.shift_right_logical(
+                             s, jnp.maximum(rice - 1, 0)),
+                         s << 1)
+        size = 4 + (1 + rice) * n + tail - n // 2
+        part_bits = jnp.where(
+            is_zero, 0,
+            jnp.where(use_escape, escape_size * n, size))
+        bad = (~is_zero) & ((use_escape & ~escape_ok)
+                            | (~use_escape & (tail > U32_MAX))
+                            | (~use_escape & (size > U32_MAX)))
+        level_bits = jnp.where(
+            valid_lens & ~bad.any(axis=1),
+            part_bits.sum(axis=1), BIG)
+
+        kinds = jnp.where(is_zero, KIND_CONSTANT,
+                          jnp.where(use_escape, KIND_ESCAPE, KIND_RICE))
+        params = jnp.where(use_escape, escape_size, rice)
+
+        pad = MAX_PARTITIONS - parts
+        kinds = jnp.pad(kinds, ((0, 0), (0, pad))).astype(jnp.uint8)
+        params = jnp.pad(params, ((0, 0), (0, pad))).astype(jnp.int32)
+        plans.append((kinds, params))
+        total_bits_by_level.append(level_bits)
+
+    est = jnp.stack(total_bits_by_level, axis=1)  # (B, npo)
+    po = jnp.argmin(est, axis=1)  # ties -> lowest order
+    fallback = jnp.min(est, axis=1) >= BIG  # all candidates dropped
+
+    kinds_all = jnp.stack([k for k, _ in plans], axis=1)   # (B, npo, 64)
+    params_all = jnp.stack([p for _, p in plans], axis=1)  # (B, npo, 64)
+    kinds = jnp.take_along_axis(
+        kinds_all, po[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    params = jnp.take_along_axis(
+        params_all, po[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+    # fallback: single partition escaped at 31 bits
+    # (reference: src/encode.rs:3887-3895)
+    po = jnp.where(fallback, 0, po)
+    kinds = jnp.where(fallback[:, None],
+                      jnp.where(jnp.arange(MAX_PARTITIONS)[None, :] == 0,
+                                KIND_ESCAPE, 0).astype(jnp.uint8), kinds)
+    params = jnp.where(fallback[:, None],
+                       jnp.where(jnp.arange(MAX_PARTITIONS)[None, :] == 0,
+                                 31, 0).astype(jnp.int32), params)
+
+    # ---- exact serialized size of the chosen plan ----
+    rice_bits_field = 5 if rice_max == 31 else 4
+    parts_chosen = jnp.int64(1) << po.astype(jnp.int64)
+    part_len_chosen = block_size // parts_chosen  # (B,)
+
+    # map each sample position to its partition index under the chosen order
+    part_idx = jnp.minimum(pos[None, :] // part_len_chosen[:, None],
+                           MAX_PARTITIONS - 1)
+    k_per_sample = jnp.take_along_axis(params.astype(jnp.int64), part_idx, axis=1)
+    kind_per_sample = jnp.take_along_axis(
+        kinds.astype(jnp.int32), part_idx, axis=1)
+    in_res = pos[None, :] >= order[:, None]
+
+    u = zigzag(res).astype(jnp.int64)
+    quotient = jax.lax.shift_right_logical(u, jnp.maximum(k_per_sample, 0))
+    rice_sample_bits = quotient + k_per_sample + 1
+    escape_sample_bits = k_per_sample
+    sample_bits = jnp.where(
+        kind_per_sample == KIND_RICE, rice_sample_bits,
+        jnp.where(kind_per_sample == KIND_ESCAPE, escape_sample_bits, 0))
+    data_bits = jnp.where(in_res, sample_bits, 0).sum(axis=1)
+
+    part_ids = jnp.arange(MAX_PARTITIONS)
+    live = part_ids[None, :] < parts_chosen[:, None]
+    header_bits = jnp.where(
+        live,
+        jnp.where(kinds == KIND_RICE, rice_bits_field, rice_bits_field + 5),
+        0).sum(axis=1)
+
+    exact_bits = 2 + 4 + header_bits + data_bits
+
+    # the fallback's 31-bit escape cannot represent residuals outside
+    # signed-31 range; the reference's checked bitstream write would error
+    # there, failing the whole candidate (caught in encode_subframe)
+    res_masked = jnp.where(in_res, res, 0)
+    fits31 = (jnp.max(res_masked, axis=1) <= (1 << 30) - 1) & \
+             (jnp.min(res_masked, axis=1) >= -(1 << 30))
+    exact_bits = jnp.where(fallback & ~fits31, BIG, exact_bits)
+
+    return {"po": po.astype(jnp.int32), "kinds": kinds, "params": params,
+            "exact_bits": exact_bits.astype(jnp.int64)}

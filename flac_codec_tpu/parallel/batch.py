@@ -1,0 +1,265 @@
+"""Batch encode pipeline: device plans -> FLAC bits.
+
+``BatchEncoder`` slices PCM into equal-shaped frames, runs the device
+planner (`ops.encode_frames_plan`) on batches — optionally sharded over a
+mesh — and assembles the resulting plans into FLAC frames on host via the
+native bit-packing engine.  Output is bit-identical to the sequential host
+encoder at matched parameters (pinned in tests/test_batch_pipeline.py).
+
+This is the TPU replacement for the reference's frame-at-a-time loop
+(reference: src/encode.rs:366-385) — SURVEY §2.7's "frame-level batching is
+the biggest untapped parallelism axis".
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import BinaryIO, List, Optional
+
+import numpy as np
+
+import jax
+
+from .. import metadata as meta
+from ..bitio import BitWriter
+from ..byteorder import deinterleave, samples_to_bytes
+from ..crc import crc16
+from ..encode import (
+    Encoder,
+    EncoderOptions,
+    EncoderSeekPoint,
+    Options,
+    encode_frame,
+)
+from ..format.frame import ChannelAssignment, FrameHeader
+from ..format.subframe import SubframeHeader
+from ..ops.encode_batch import (
+    TYPE_CONSTANT,
+    TYPE_FIXED,
+    TYPE_LPC,
+    TYPE_VERBATIM,
+    encode_frames_plan,
+)
+from .mesh import batch_mesh, shard_batch
+
+KIND_RICE = 0
+KIND_ESCAPE = 1
+KIND_CONSTANT = 2
+
+# assignment code -> (source idx ch0, source idx ch1) into [L, R, M, S]
+_SRC = {0b0001: (0, 1), 0b1000: (0, 3), 0b1001: (3, 1), 0b1010: (2, 3)}
+
+
+def _candidate_channels(pcm: np.ndarray) -> np.ndarray:
+    """(B, 2, N) -> (B, 4, N) int64 [L, R, M, S] (host mirror of
+    ops.decorrelate.candidates)."""
+    x = pcm.astype(np.int64)
+    left, right = x[:, 0], x[:, 1]
+    return np.stack([left, right, (left + right) >> 1, left - right], axis=1)
+
+
+def _write_subframe_from_plan(w: BitWriter, ch_plan: dict, b: int,
+                              xs: np.ndarray, bps: int, block_size: int
+                              ) -> None:
+    """Serialize one planned subframe.  ``xs`` is the wasted-shifted
+    channel; ``bps`` the original (pre-wasted) bits per sample."""
+    stype = int(ch_plan["sub_type"][b])
+    wasted = int(ch_plan["wasted"][b])
+    bps_eff = bps - wasted
+
+    if stype == TYPE_CONSTANT:
+        SubframeHeader("constant", 0, 0).write(w)
+        w.write_signed(int(xs[0] << wasted), bps)
+        return
+    if stype == TYPE_VERBATIM:
+        SubframeHeader("verbatim", 0, wasted).write(w)
+        w.write_signed_array(xs, bps_eff)
+        return
+
+    order = int(ch_plan["order"][b])
+    if stype == TYPE_FIXED:
+        SubframeHeader("fixed", order, wasted).write(w)
+        w.write_signed_array(xs[:order], bps_eff)
+    else:
+        precision = int(ch_plan["precision"][b])
+        SubframeHeader("lpc", order, wasted).write(w)
+        w.write_signed_array(xs[:order], bps_eff)
+        w.write(precision - 1, 4)
+        w.write_signed(int(ch_plan["shift"][b]), 5)
+        w.write_signed_array(ch_plan["qcoeffs"][b, :order], precision)
+
+    # residual section
+    rice_bits = int(ch_plan["rice_bits"][b])
+    po = int(ch_plan["po"][b])
+    count = 1 << po
+    part_len = block_size // count
+    res_seq = ch_plan["residuals"][b, order:]
+    kinds = ch_plan["kinds"][b]
+    params = ch_plan["params"][b]
+    escape_code = (1 << rice_bits) - 1
+
+    w.write(0 if rice_bits == 4 else 1, 2)
+    w.write(po, 4)
+    pos = 0
+    for p in range(count):
+        n = part_len - order if p == 0 else part_len
+        k = int(params[p])
+        kind = int(kinds[p])
+        values = res_seq[pos:pos + n]
+        pos += n
+        if kind == KIND_RICE:
+            w.write(k, rice_bits)
+            w.write_rice_array(values, k)
+        elif kind == KIND_ESCAPE:
+            w.write(escape_code, rice_bits)
+            w.write(k, 5)
+            w.write_signed_array(values, k)
+        else:
+            w.write(escape_code, rice_bits)
+            w.write(0, 5)
+
+
+def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
+                    first_frame_number: int) -> List[bytes]:
+    """Turn a device plan + PCM batch into serialized FLAC frames."""
+    plan = jax.tree_util.tree_map(np.asarray, plan)
+    B, C, N = pcm.shape
+    bps = streaminfo.bits_per_sample
+
+    stereo_correlated = C == 2 and any(
+        int(a) in _SRC and int(a) != 0b0001 for a in plan["assignment"])
+    cands = _candidate_channels(pcm) if C == 2 else None
+
+    out: List[bytes] = []
+    for b in range(B):
+        assignment = int(plan["assignment"][b])
+        w = BitWriter()
+        FrameHeader(
+            blocking_strategy=False,
+            block_size=N,
+            sample_rate=streaminfo.sample_rate,
+            channel_assignment=assignment,
+            bits_per_sample=bps,
+            frame_number=first_frame_number + b,
+        ).write(w)
+
+        if C == 2 and assignment in _SRC:
+            srcs = _SRC[assignment]
+            for slot in range(2):
+                ch_plan = plan["channels"][slot]
+                src = srcs[slot]
+                ch_bps = bps + (1 if src == 3 else 0)
+                x = cands[b, src]
+                xs = x >> int(ch_plan["wasted"][b])
+                _write_subframe_from_plan(w, ch_plan, b, xs, ch_bps, N)
+        else:
+            for c in range(C):
+                ch_plan = plan["channels"][c]
+                x = pcm[b, c].astype(np.int64)
+                xs = x >> int(ch_plan["wasted"][b])
+                _write_subframe_from_plan(w, ch_plan, b, xs, bps, N)
+
+        w.byte_align()
+        body = w.getvalue()
+        out.append(body + crc16(body).to_bytes(2, "big"))
+    return out
+
+
+class BatchEncoder:
+    """Full-file batch encoder: device planning + host assembly.
+
+    Mirrors ``FlacSampleWriter``'s output exactly, but evaluates the
+    candidate search for ``batch_frames`` frames at once on the device
+    (sharded over ``mesh`` when given).
+    """
+
+    def __init__(self, fp_or_path, options: Options, sample_rate: int,
+                 bits_per_sample: int, channels: int,
+                 total_samples: Optional[int] = None,
+                 batch_frames: int = 64, mesh=None):
+        if isinstance(fp_or_path, (str, bytes)):
+            fp_or_path = open(fp_or_path, "wb+")
+            self._owns_fp = True
+        else:
+            self._owns_fp = False
+        self.encoder = Encoder(fp_or_path, options, sample_rate,
+                               bits_per_sample, channels, total_samples)
+        self.options = options
+        self.batch_frames = batch_frames
+        self.mesh = mesh
+        self._buf = np.empty(0, dtype=np.int32)
+        self._block = options.block_size
+        self._chans = channels
+
+    def write(self, samples) -> None:
+        samples = np.asarray(samples, dtype=np.int32)
+        self._buf = np.concatenate([self._buf, samples])
+        frame_len = self._block * self._chans
+        batch_len = frame_len * self.batch_frames
+        while len(self._buf) >= batch_len:
+            chunk, self._buf = self._buf[:batch_len], self._buf[batch_len:]
+            self._flush_batch(chunk)
+
+    def _flush_batch(self, chunk: np.ndarray) -> None:
+        enc = self.encoder
+        frame_len = self._block * self._chans
+        B = len(chunk) // frame_len
+        enc.md5.update(samples_to_bytes(chunk, enc.streaminfo.bits_per_sample))
+        pcm = chunk.reshape(B, self._block, self._chans).transpose(0, 2, 1)
+        pcm = np.ascontiguousarray(pcm)
+
+        dev_pcm = pcm
+        if self.mesh is not None:
+            dev_pcm = shard_batch(self.mesh, pcm)
+        o = self.options
+        plan = encode_frames_plan(
+            dev_pcm,
+            bits_per_sample=enc.streaminfo.bits_per_sample,
+            block_size=self._block,
+            max_lpc_order=o.max_lpc_order,
+            max_partition_order=o.max_partition_order,
+            mid_side=o.mid_side,
+            exhaustive=o.exhaustive_channel_correlation,
+            window_kind=o.window if not isinstance(o.window, list)
+            else tuple(o.window),
+        )
+        frames = assemble_frames(plan, pcm, enc.streaminfo, enc.frame_number)
+        for i, data in enumerate(frames):
+            enc.seekpoints.append(EncoderSeekPoint(
+                enc.samples_written, enc.frame_bytes_written, self._block))
+            enc.fp.write(data)
+            enc.frame_bytes_written += len(data)
+            enc.samples_written += self._block
+            enc.frame_number += 1
+            size = len(data)
+            si = enc.streaminfo
+            if 0 < size < meta.Streaminfo.MAX_FRAME_SIZE:
+                si.minimum_frame_size = (size if si.minimum_frame_size is None
+                                         else min(si.minimum_frame_size, size))
+                si.maximum_frame_size = (size if si.maximum_frame_size is None
+                                         else max(si.maximum_frame_size, size))
+
+    def finalize(self) -> None:
+        enc = self.encoder
+        frame_len = self._block * self._chans
+        # whole frames first (small batch), then the partial tail via the
+        # sequential host encoder (matches FlacSampleWriter output)
+        while len(self._buf) >= frame_len:
+            n_full = len(self._buf) // frame_len
+            chunk = self._buf[:n_full * frame_len]
+            self._buf = self._buf[n_full * frame_len:]
+            self._flush_batch(chunk)
+        if len(self._buf):
+            enc.update_md5(self._buf)
+            enc.encode(list(deinterleave(self._buf, self._chans)))
+            self._buf = np.empty(0, dtype=np.int32)
+        enc.finalize()
+        if self._owns_fp:
+            enc.fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.finalize()

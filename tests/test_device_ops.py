@@ -1,0 +1,193 @@
+"""Device-plane kernel parity tests: each batched JAX op must match its
+golden-pinned host (numpy) counterpart, and the full batch pipeline must be
+bit-identical to the sequential encoder.  Runs on the virtual CPU backend
+(x64 enabled in conftest) so parity is exact.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from flac_codec_tpu.encode import FlacSampleWriter, Options
+from flac_codec_tpu.models import fixed as hfixed
+from flac_codec_tpu.models import lpc as hlpc
+from flac_codec_tpu.ops import fixed as dfixed
+from flac_codec_tpu.ops import lpc as dlpc
+from flac_codec_tpu.ops import rice as drice
+from flac_codec_tpu.parallel.batch import BatchEncoder
+from flac_codec_tpu.rice import best_partitions, residual_section_bits, choose_rice_coding
+
+
+def _random_signal(rng, n, scale=5000):
+    t = np.arange(n)
+    return (scale * np.sin(t * rng.uniform(0.001, 0.1))
+            + rng.integers(-scale // 20, scale // 20, n)).astype(np.int64)
+
+
+def test_autocorrelate_matches_host():
+    rng = np.random.default_rng(0)
+    x = np.stack([_random_signal(rng, 512) for _ in range(4)])
+    win = hlpc.window(("tukey", 0.5), 512)
+    windowed = x.astype(np.float64) * win
+    dev = dlpc.autocorrelate(jnp.asarray(windowed), 8)
+    for b in range(4):
+        host = hlpc.autocorrelate(windowed[b], 8)
+        np.testing.assert_allclose(np.asarray(dev[b]), host, rtol=1e-12)
+
+
+def test_levinson_matches_host():
+    rng = np.random.default_rng(1)
+    x = np.stack([_random_signal(rng, 1024) for _ in range(3)])
+    win = hlpc.window(("tukey", 0.5), 1024)
+    windowed = x.astype(np.float64) * win
+    autoc = np.stack([hlpc.autocorrelate(windowed[b], 8) for b in range(3)])
+    coeffs, errs = dlpc.levinson(jnp.asarray(autoc), 8)
+    for b in range(3):
+        host = hlpc.lp_coefficients(autoc[b])
+        for o, (hc, he) in enumerate(host):
+            np.testing.assert_allclose(np.asarray(coeffs[b, o, :o + 1]), hc,
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(float(errs[b, o]), he, rtol=1e-9)
+
+
+def test_quantize_matches_host():
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        order = int(rng.integers(1, 9))
+        c = rng.normal(0, 1, order)
+        if not np.abs(c).max() > 0:
+            continue
+        padded = np.zeros((1, dlpc.MAX_ORDER))
+        padded[0, :order] = c
+        shift_d, q_d, valid = dlpc.quantize(
+            jnp.asarray(padded), jnp.asarray([order]), 12)
+        shift_h, q_h = hlpc.quantize(c, 12)
+        assert bool(valid[0])
+        assert int(shift_d[0]) == shift_h
+        np.testing.assert_array_equal(np.asarray(q_d[0, :order]), q_h)
+
+
+def test_fixed_cascade_matches_host():
+    rng = np.random.default_rng(3)
+    x = np.stack([_random_signal(rng, 256) for _ in range(8)])
+    diffs, valid = dfixed.diff_cascade(jnp.asarray(x))
+    order_d, res_d = dfixed.best_order(diffs, valid)
+    for b in range(8):
+        order_h, res_h = hfixed.best_fixed_order(x[b])
+        assert int(order_d[b]) == order_h
+        np.testing.assert_array_equal(
+            np.asarray(res_d[b, order_h:]), res_h)
+
+
+def test_rice_search_matches_host():
+    rng = np.random.default_rng(4)
+    N = 1024
+    for order in [0, 2, 8]:
+        res = np.zeros((4, N), dtype=np.int64)
+        for b in range(4):
+            res[b, order:] = rng.integers(-2000, 2000, N - order)
+        plan = drice.search(jnp.asarray(res), jnp.full(4, order),
+                            N, 5, 15)
+        for b in range(4):
+            host = best_partitions(res[b, order:], order, 5, 15)
+            host_po = int(np.log2(len(host)))
+            assert int(plan["po"][b]) == host_po
+            for p, (kind, param, _) in enumerate(host):
+                kmap = {"rice": 0, "escape": 1, "constant": 2}
+                assert int(plan["kinds"][b, p]) == kmap[kind]
+                if kind != "constant":
+                    assert int(plan["params"][b, p]) == param
+            # exact bits match serialized size
+            host_bits = residual_section_bits(host, 4)
+            assert int(plan["exact_bits"][b]) == host_bits
+
+
+def test_batch_pipeline_bit_exact():
+    rng = np.random.default_rng(5)
+    bs = 1024
+    n = bs * 6 + 123
+    t = np.arange(n)
+    left = (4000 * np.sin(t * 0.01) + rng.integers(-100, 100, n)).astype(np.int32)
+    right = (4000 * np.sin(t * 0.013) + rng.integers(-100, 100, n)).astype(np.int32)
+    inter = np.stack([left, right]).T.reshape(-1)
+
+    for opts in [Options(block_size=bs), Options.fast(),
+                 Options(block_size=bs, max_lpc_order=None),
+                 Options(block_size=bs, mid_side=False),
+                 Options(block_size=bs,
+                         exhaustive_channel_correlation=False)]:
+        b1 = io.BytesIO()
+        w = FlacSampleWriter(b1, opts, 44100, 16, 2, total_samples=n)
+        w.write(inter)
+        w.finalize()
+        b2 = io.BytesIO()
+        be = BatchEncoder(b2, opts, 44100, 16, 2, total_samples=n,
+                          batch_frames=3)
+        be.write(inter)
+        be.finalize()
+        assert b1.getvalue() == b2.getvalue(), f"mismatch for {opts}"
+
+
+def test_batch_pipeline_24bit_rice2():
+    rng = np.random.default_rng(6)
+    bs = 1024
+    n = bs * 4
+    inter = (rng.integers(-(1 << 22), 1 << 22, 2 * n)).astype(np.int32)
+    opts = Options(block_size=bs)
+    b1 = io.BytesIO()
+    w = FlacSampleWriter(b1, opts, 96000, 24, 2, total_samples=n)
+    w.write(inter)
+    w.finalize()
+    b2 = io.BytesIO()
+    be = BatchEncoder(b2, opts, 96000, 24, 2, total_samples=n, batch_frames=2)
+    be.write(inter)
+    be.finalize()
+    assert b1.getvalue() == b2.getvalue()
+
+
+def test_batch_pipeline_mono_and_multichannel():
+    rng = np.random.default_rng(7)
+    bs = 512
+    n = bs * 4
+    for channels in [1, 4]:
+        inter = (rng.integers(-5000, 5000, channels * n)).astype(np.int32)
+        opts = Options(block_size=bs)
+        b1 = io.BytesIO()
+        w = FlacSampleWriter(b1, opts, 44100, 16, channels, total_samples=n)
+        w.write(inter)
+        w.finalize()
+        b2 = io.BytesIO()
+        be = BatchEncoder(b2, opts, 44100, 16, channels, total_samples=n,
+                          batch_frames=2)
+        be.write(inter)
+        be.finalize()
+        assert b1.getvalue() == b2.getvalue()
+
+
+def test_batch_pipeline_sharded_mesh():
+    """Same bytes when the batch is sharded over the 8-device CPU mesh."""
+    from flac_codec_tpu.parallel.mesh import batch_mesh
+
+    rng = np.random.default_rng(8)
+    bs = 512
+    n = bs * 16
+    inter = (rng.integers(-3000, 3000, 2 * n)).astype(np.int32)
+    opts = Options(block_size=bs)
+
+    b1 = io.BytesIO()
+    be1 = BatchEncoder(b1, opts, 44100, 16, 2, total_samples=n,
+                       batch_frames=16)
+    be1.write(inter)
+    be1.finalize()
+
+    mesh = batch_mesh(jax.devices("cpu"))
+    b2 = io.BytesIO()
+    be2 = BatchEncoder(b2, opts, 44100, 16, 2, total_samples=n,
+                       batch_frames=16, mesh=mesh)
+    be2.write(inter)
+    be2.finalize()
+    assert b1.getvalue() == b2.getvalue()

@@ -1,0 +1,73 @@
+"""flac2wav — FLAC -> RIFF/WAVE (reference: examples/flac2wav.rs).
+
+Chooses PCM vs EXTENSIBLE fmt by channels/bps (reference:
+flac2wav.rs:140-151); decodes multiple files in parallel processes
+(reference uses rayon par_iter, flac2wav.rs:31-38).
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import os
+import sys
+
+from .. import metadata as meta
+from ..decode import FlacSampleReader
+from ..utils.wav import pcm_to_wave_bytes, write_wave
+
+
+def convert_one(path: str, out_path: str) -> str:
+    r = FlacSampleReader(path)
+    si = r.streaminfo
+    mask = None
+    vc = r.metadata().get(meta.VorbisComment)
+    if vc is not None:
+        raw = vc.get(meta.fields.WAVEFORMATEXTENSIBLE_CHANNEL_MASK)
+        if raw:
+            try:
+                mask = int(raw, 16)
+            except ValueError:
+                mask = None
+    with open(out_path, "wb") as fout:
+        write_wave(fout, si.sample_rate, si.channels, si.bits_per_sample,
+                   si.total_samples or 0, mask)
+        while True:
+            buf = r.fill_buf()
+            if buf.size == 0:
+                break
+            r.consume(buf.size)
+            fout.write(pcm_to_wave_bytes(buf, si.bits_per_sample))
+    r.close()
+    return out_path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="flac2wav")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-o", "--output", default=None,
+                   help="output file (single input) or directory")
+    p.add_argument("-j", "--jobs", type=int, default=os.cpu_count())
+    args = p.parse_args(argv)
+
+    jobs = []
+    for path in args.inputs:
+        if args.output and len(args.inputs) == 1 and not os.path.isdir(args.output):
+            out = args.output
+        else:
+            base = os.path.splitext(os.path.basename(path))[0] + ".wav"
+            out = os.path.join(args.output or os.path.dirname(path) or ".", base)
+        jobs.append((path, out))
+
+    if len(jobs) == 1:
+        convert_one(*jobs[0])
+    else:
+        with concurrent.futures.ProcessPoolExecutor(args.jobs) as ex:
+            futures = [ex.submit(convert_one, p_, o_) for p_, o_ in jobs]
+            for f in concurrent.futures.as_completed(futures):
+                print(f.result())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

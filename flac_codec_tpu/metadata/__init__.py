@@ -18,6 +18,7 @@ from ..errors import (
     MultipleStreaminfo,
     MultipleVorbisComment,
 )
+from .channel_mask import ChannelMask  # noqa: F401
 from .blocks import (  # noqa: F401
     APPLICATION,
     BLOCK_CLASSES,

@@ -57,6 +57,17 @@ class Native:
         lib.nat_lpc_predict32.argtypes = [i32p, ctypes.c_size_t, i32p, ctypes.c_uint32, ctypes.c_uint32]
         lib.nat_lpc_residuals.restype = ctypes.c_int32
         lib.nat_lpc_residuals.argtypes = [i64p, ctypes.c_size_t, i32p, ctypes.c_uint32, ctypes.c_uint32, i32p]
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.nat_assemble_batch.restype = ctypes.c_int64
+        lib.nat_assemble_batch.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint64,
+            u8p,                       # assignment
+            u8p, u8p, u8p, u8p, i8p,   # sub_type, wasted, order, precision, shift
+            i32p,                      # qcoeffs
+            u8p, u8p, u8p,             # po, rice_bits, kinds
+            i32p, i32p, i32p,          # params, residuals, channels
+            u8p, ctypes.c_uint32, u32p, ctypes.c_uint32]
 
     @staticmethod
     def _u8(buf) -> "ctypes.POINTER(ctypes.c_uint8)":
@@ -122,6 +133,45 @@ class Native:
         self._lib.nat_lpc_predict32(
             x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(x),
             qa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(qa), shift)
+
+    def assemble_batch(self, *, N: int, bps_base: int, sample_rate: int,
+                       first_frame_number: int, assignment: np.ndarray,
+                       sub_type: np.ndarray, wasted: np.ndarray,
+                       order: np.ndarray, precision: np.ndarray,
+                       shift: np.ndarray, qcoeffs: np.ndarray,
+                       po: np.ndarray, rice_bits: np.ndarray,
+                       kinds: np.ndarray, params: np.ndarray,
+                       residuals: np.ndarray, channels: np.ndarray,
+                       nthreads: int = 0):
+        """Assemble a whole batch of frames; returns list of per-frame bytes.
+
+        All plan arrays are (S, B, ...) contiguous; ``channels`` holds the
+        wasted-shifted subframe samples.
+        """
+        import os
+
+        S, B = sub_type.shape
+        max_bytes = 64 + S * (N * 34 // 8 + 300)
+        out = np.zeros((B, max_bytes), dtype=np.uint8)
+        lengths = np.zeros(B, dtype=np.uint32)
+        if nthreads <= 0:
+            nthreads = min(8, os.cpu_count() or 1)
+
+        def p(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        u8, i8, i32, u32 = (ctypes.c_uint8, ctypes.c_int8, ctypes.c_int32,
+                            ctypes.c_uint32)
+        total = self._lib.nat_assemble_batch(
+            B, N, S, bps_base, sample_rate, first_frame_number,
+            p(assignment, u8),
+            p(sub_type, u8), p(wasted, u8), p(order, u8), p(precision, u8),
+            p(shift, i8), p(qcoeffs, i32),
+            p(po, u8), p(rice_bits, u8), p(kinds, u8),
+            p(params, i32), p(residuals, i32), p(channels, i32),
+            p(out, u8), max_bytes, p(lengths, u32), nthreads)
+        assert total >= 0
+        return [out[b, :lengths[b]].tobytes() for b in range(B)]
 
     def lpc_residuals(self, x: np.ndarray, q: np.ndarray, shift: int):
         x = np.ascontiguousarray(x, dtype=np.int64)

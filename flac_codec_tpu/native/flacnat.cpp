@@ -236,3 +236,245 @@ int32_t nat_lpc_residuals(const int64_t* x, size_t n, const int32_t* q,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-batch frame assembler.
+//
+// Converts device-produced encoding plans (see ops/encode_batch.py) into
+// complete serialized FLAC frames — header, subframes, Rice partitions,
+// CRC-8/16 — with one call per batch and a thread pool over frames.  This
+// is the host half of the TPU pipeline: the device plans thousands of
+// frames at once; this code turns plans into bits at memory speed.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct BitSink {
+    uint8_t* buf;      // pre-zeroed
+    uint64_t bitpos = 0;
+
+    inline void put(uint64_t value, uint32_t nbits) {
+        or_bits(buf, bitpos, value, nbits);
+        bitpos += nbits;
+    }
+    inline void put_signed(int64_t v, uint32_t nbits) {
+        put((uint64_t)v & ((nbits >= 64) ? ~0ull : (((uint64_t)1 << nbits) - 1)), nbits);
+    }
+    inline void put_unary(uint32_t q) {
+        bitpos += q;          // zeros implicit
+        put(1, 1);
+    }
+    inline void align() { bitpos = (bitpos + 7) & ~7ull; }
+};
+
+// 4-bit block size code (reference: src/stream.rs:437-566); returns code,
+// sets extra/extra_bits for the uncommon escapes.
+static uint32_t block_size_code(uint32_t n, uint32_t* extra, uint32_t* extra_bits) {
+    *extra_bits = 0;
+    switch (n) {
+        case 192: return 1;
+        case 576: return 2;   case 1152: return 3;
+        case 2304: return 4;  case 4608: return 5;
+        case 256: return 8;   case 512: return 9;
+        case 1024: return 10; case 2048: return 11;
+        case 4096: return 12; case 8192: return 13;
+        case 16384: return 14; case 32768: return 15;
+    }
+    if (n <= 256) { *extra = n - 1; *extra_bits = 8; return 6; }
+    *extra = n - 1; *extra_bits = 16; return 7;
+}
+
+static uint32_t sample_rate_code(uint32_t r, uint32_t* extra, uint32_t* extra_bits) {
+    *extra_bits = 0;
+    switch (r) {
+        case 88200: return 1;  case 176400: return 2;
+        case 192000: return 3; case 8000: return 4;
+        case 16000: return 5;  case 22050: return 6;
+        case 24000: return 7;  case 32000: return 8;
+        case 44100: return 9;  case 48000: return 10;
+        case 96000: return 11;
+    }
+    if (r % 1000 == 0 && r / 1000 < 255) { *extra = r / 1000; *extra_bits = 8; return 12; }
+    if (r % 10 == 0 && r / 10 < 65535)   { *extra = r / 10;   *extra_bits = 16; return 14; }
+    if (r < 65535)                        { *extra = r;        *extra_bits = 16; return 13; }
+    return 0;  // streaminfo escape
+}
+
+static uint32_t bps_code(uint32_t bps) {
+    switch (bps) {
+        case 8: return 1;  case 12: return 2; case 16: return 4;
+        case 20: return 5; case 24: return 6; case 32: return 7;
+    }
+    return 0;
+}
+
+// UTF-8-style frame number varint (reference: src/stream.rs:1266-1326)
+static void put_frame_number(BitSink& w, uint64_t num) {
+    if (num < 0x80) { w.put(num, 8); return; }
+    static const struct { uint64_t limit; uint32_t bytes; } tiers[] = {
+        {1ull << 11, 2}, {1ull << 16, 3}, {1ull << 21, 4},
+        {1ull << 26, 5}, {1ull << 31, 6}, {1ull << 36, 7},
+    };
+    for (auto& t : tiers) {
+        if (num < t.limit) {
+            uint32_t nbytes = t.bytes;
+            uint32_t top_bits = 7 - nbytes;
+            uint32_t lead = (0xFFu >> (8 - nbytes)) << (8 - nbytes);
+            w.put(lead | ((num >> (6 * (nbytes - 1))) & ((1u << top_bits) - 1)), 8);
+            for (int i = (int)nbytes - 2; i >= 0; i--)
+                w.put(0x80u | ((num >> (6 * i)) & 0x3F), 8);
+            return;
+        }
+    }
+}
+
+struct SlotPlan {
+    const uint8_t *sub_type, *wasted, *order, *precision, *po, *rice_bits;
+    const int8_t* shift;
+    const int32_t *qcoeffs, *params, *residuals, *channels;
+    const uint8_t* kinds;
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t nat_assemble_batch(
+    uint32_t B, uint32_t N, uint32_t slots, uint32_t bps_base,
+    uint32_t sample_rate, uint64_t first_frame_number,
+    const uint8_t* assignment,
+    const uint8_t* sub_type, const uint8_t* wasted, const uint8_t* order_,
+    const uint8_t* precision, const int8_t* shift, const int32_t* qcoeffs,
+    const uint8_t* po, const uint8_t* rice_bits_, const uint8_t* kinds,
+    const int32_t* params, const int32_t* residuals, const int32_t* channels,
+    uint8_t* out, uint32_t max_bytes, uint32_t* lengths, uint32_t nthreads) {
+    if (!tables_ready) init_tables();
+
+    auto do_frame = [&](uint32_t b) {
+        uint8_t* frame_buf = out + (uint64_t)b * max_bytes;
+        BitSink w{frame_buf};
+
+        uint32_t a = assignment[b];
+        // header
+        w.put(0b111111111111100, 15);
+        w.put(0, 1);  // fixed block size strategy
+        uint32_t bs_extra = 0, bs_extra_bits = 0, sr_extra = 0, sr_extra_bits = 0;
+        uint32_t bsc = block_size_code(N, &bs_extra, &bs_extra_bits);
+        uint32_t src = sample_rate_code(sample_rate, &sr_extra, &sr_extra_bits);
+        w.put(bsc, 4);
+        w.put(src, 4);
+        w.put(a, 4);
+        w.put(bps_code(bps_base), 3);
+        w.put(0, 1);
+        put_frame_number(w, first_frame_number + b);
+        if (bs_extra_bits) w.put(bs_extra, bs_extra_bits);
+        if (sr_extra_bits) w.put(sr_extra, sr_extra_bits);
+        // header CRC-8
+        uint64_t hdr_bytes = w.bitpos >> 3;
+        w.put(nat_crc8(frame_buf, hdr_bytes, 0), 8);
+
+        int side_slot = (a == 0b1000 || a == 0b1010) ? 1 : (a == 0b1001 ? 0 : -1);
+
+        for (uint32_t s = 0; s < slots; s++) {
+            uint64_t sb = (uint64_t)s * B + b;
+            uint32_t bps = bps_base + (((int)s == side_slot) ? 1 : 0);
+            uint32_t typ = sub_type[sb];
+            uint32_t wb = wasted[sb];
+            uint32_t eff = bps - wb;
+            const int32_t* xs = channels + ((uint64_t)s * B + b) * N;
+
+            // subframe header
+            w.put(0, 1);
+            if (typ == 0) w.put(0b000000, 6);          // constant
+            else if (typ == 1) w.put(0b000001, 6);     // verbatim
+            else if (typ == 2) w.put(0b001000 | order_[sb], 6);
+            else w.put(0b100000 | (order_[sb] - 1), 6);
+            if (typ == 0 || wb == 0) {
+                w.put(0, 1);
+            } else {
+                w.put(1, 1);
+                w.put_unary(wb - 1);
+            }
+
+            if (typ == 0) {                  // constant (all-zero channels)
+                w.put_signed(xs[0], bps);
+                continue;
+            }
+            if (typ == 1) {                  // verbatim
+                for (uint32_t i = 0; i < N; i++) w.put_signed(xs[i], eff);
+                continue;
+            }
+
+            uint32_t ord = order_[sb];
+            for (uint32_t i = 0; i < ord; i++) w.put_signed(xs[i], eff);
+            if (typ == 3) {                  // LPC params
+                w.put(precision[sb] - 1, 4);
+                w.put_signed(shift[sb], 5);
+                const int32_t* q = qcoeffs + sb * 32;
+                for (uint32_t i = 0; i < ord; i++)
+                    w.put_signed(q[i], precision[sb]);
+            }
+
+            // residual section
+            uint32_t rb = rice_bits_[sb];
+            uint32_t p_order = po[sb];
+            uint32_t count = 1u << p_order;
+            uint32_t part_len = N / count;
+            uint32_t escape_code = (1u << rb) - 1;
+            const uint8_t* k_arr = kinds + sb * 64;
+            const int32_t* p_arr = params + sb * 64;
+            const int32_t* res = residuals + ((uint64_t)s * B + b) * N + ord;
+
+            w.put(rb == 4 ? 0 : 1, 2);
+            w.put(p_order, 4);
+            uint32_t pos = 0;
+            for (uint32_t p = 0; p < count; p++) {
+                uint32_t n = (p == 0) ? part_len - ord : part_len;
+                uint32_t kind = k_arr[p];
+                uint32_t param = (uint32_t)p_arr[p];
+                if (kind == 0) {             // rice
+                    w.put(param, rb);
+                    w.bitpos = nat_pack_rice(frame_buf, w.bitpos, res + pos, n, param);
+                } else if (kind == 1) {      // escape
+                    w.put(escape_code, rb);
+                    w.put(param, 5);
+                    for (uint32_t i = 0; i < n; i++)
+                        w.put_signed(res[pos + i], param);
+                } else {                     // constant
+                    w.put(escape_code, rb);
+                    w.put(0, 5);
+                }
+                pos += n;
+            }
+        }
+
+        w.align();
+        uint64_t body = w.bitpos >> 3;
+        uint32_t crc = nat_crc16(frame_buf, body, 0);
+        w.put(crc, 16);
+        lengths[b] = (uint32_t)(w.bitpos >> 3);
+    };
+
+    if (nthreads <= 1 || B < 4) {
+        for (uint32_t b = 0; b < B; b++) do_frame(b);
+    } else {
+        uint32_t nt = std::min(nthreads, B);
+        std::vector<std::thread> pool;
+        for (uint32_t t = 0; t < nt; t++) {
+            pool.emplace_back([&, t]() {
+                for (uint32_t b = t; b < B; b += nt) do_frame(b);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+
+    int64_t total = 0;
+    for (uint32_t b = 0; b < B; b++) total += lengths[b];
+    return total;
+}
+
+}  // extern "C"

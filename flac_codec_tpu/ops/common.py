@@ -8,7 +8,9 @@ import jax.numpy as jnp
 I64 = jnp.int64
 I32 = jnp.int32
 
-BIG = jnp.int64(1) << 62  # sentinel "invalid candidate" bit cost
+# sentinel "invalid candidate" bit cost (plain int: keeps module import from
+# initializing a backend)
+BIG = 1 << 62
 
 
 def analysis_dtype(requested=None):

@@ -168,23 +168,40 @@ def _gather_plans(plans, src):
 
 @partial(jax.jit, static_argnames=("bits_per_sample", "block_size",
                                    "max_lpc_order", "max_partition_order",
-                                   "mid_side", "exhaustive", "window_kind"))
+                                   "mid_side", "exhaustive", "window_kind",
+                                   "analysis"))
 def encode_frames_plan(pcm: jnp.ndarray, *, bits_per_sample: int,
                        block_size: int, max_lpc_order,
                        max_partition_order: int, mid_side: bool = True,
                        exhaustive: bool = True,
-                       window_kind=("tukey", 0.5)):
+                       window_kind=("tukey", 0.5),
+                       analysis: str = "auto"):
     """Plan encoding for a batch of frames.
 
-    pcm: (B, C, N) int32.  Returns a dict of batched arrays:
+    pcm: (B, C, N) int32.  ``analysis`` chooses the float dtype for LPC
+    analysis: "f64" (bit-parity with the f64 reference math; requires
+    jax_enable_x64), "f32" (fast TPU mode; still exact/lossless output), or
+    "auto" (f64 iff x64 is enabled).  Integer math requires x64 regardless
+    (int64 accumulators).
+
+    Returns a dict of batched arrays:
       assignment (B,) uint8 channel-assignment code
       channels: list of per-output-channel plan dicts (len C for
                 independent layouts, 2 for stereo)
     """
     B, C, N = pcm.shape
     assert N == block_size
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "encode_frames_plan needs jax_enable_x64 for exact int64 "
+            "residual math; call jax.config.update('jax_enable_x64', True)")
     use_rice2 = bits_per_sample > 16
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if analysis == "f32":
+        dtype = jnp.float32
+    elif analysis == "f64":
+        dtype = jnp.float64
+    else:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     win = lpc.window_array(window_kind, N, dtype)
 
     analyze = partial(_analyze_channel, win=win, max_lpc_order=max_lpc_order,

@@ -196,7 +196,10 @@ def analyze(x: jnp.ndarray, win: jnp.ndarray, max_order: int,
             bits_per_sample, block_size: int):
     """Full LPC parameter selection for a batch of channels.
 
-    Returns dict with order, shift, qcoeffs, residuals, valid (all batched).
+    Float math runs in ``win.dtype`` (f64 for exact reference parity, f32
+    for TPU speed — either yields valid streams since residuals are exact
+    integer math).  Returns dict with order, shift, qcoeffs, residuals,
+    valid (all batched).
     """
     precision = precision_for_block_size(block_size)
     windowed = x.astype(win.dtype) * win[None, :]

@@ -121,8 +121,71 @@ def _write_subframe_from_plan(w: BitWriter, ch_plan: dict, b: int,
 
 def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
                     first_frame_number: int) -> List[bytes]:
-    """Turn a device plan + PCM batch into serialized FLAC frames."""
+    """Turn a device plan + PCM batch into serialized FLAC frames.
+
+    Uses the native C++ batch assembler (one call per batch, thread pool
+    over frames) when available; falls back to the pure-Python writer.
+    """
+    from .. import native
+
     plan = jax.tree_util.tree_map(np.asarray, plan)
+    # trim any tail-batch padding (plans are dispatched at a fixed size)
+    B = pcm.shape[0]
+    plan = jax.tree_util.tree_map(lambda a: a[:B], plan)
+    nat = native.load()
+    if nat is not None:
+        return _assemble_frames_native(nat, plan, pcm, streaminfo,
+                                       first_frame_number)
+    return _assemble_frames_python(plan, pcm, streaminfo, first_frame_number)
+
+
+def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
+                            streaminfo: meta.Streaminfo,
+                            first_frame_number: int) -> List[bytes]:
+    B, C, N = pcm.shape
+    chans_plans = plan["channels"]
+    S = len(chans_plans)
+    assignment = np.ascontiguousarray(plan["assignment"], dtype=np.uint8)
+    wasted = np.ascontiguousarray(
+        np.stack([p["wasted"] for p in chans_plans]), dtype=np.uint8)
+
+    if C == 2 and S == 2:
+        cands = _candidate_channels(pcm)  # (B, 4, N) int64
+        srcs = np.array(
+            [[_SRC.get(int(a), (0, 1))[s] for a in assignment]
+             for s in range(2)])  # (2, B)
+        chans = cands[np.arange(B)[None, :], srcs]  # (2, B, N) int64
+    else:
+        chans = pcm.transpose(1, 0, 2).astype(np.int64)
+    xs = (chans >> wasted[:, :, None].astype(np.int64)).astype(np.int32)
+
+    def stk(key, dtype):
+        return np.ascontiguousarray(
+            np.stack([p[key] for p in chans_plans]), dtype=dtype)
+
+    return nat.assemble_batch(
+        N=N, bps_base=streaminfo.bits_per_sample,
+        sample_rate=streaminfo.sample_rate,
+        first_frame_number=first_frame_number,
+        assignment=assignment,
+        sub_type=stk("sub_type", np.uint8),
+        wasted=wasted,
+        order=stk("order", np.uint8),
+        precision=stk("precision", np.uint8),
+        shift=stk("shift", np.int8),
+        qcoeffs=stk("qcoeffs", np.int32),
+        po=stk("po", np.uint8),
+        rice_bits=stk("rice_bits", np.uint8),
+        kinds=stk("kinds", np.uint8),
+        params=stk("params", np.int32),
+        residuals=stk("residuals", np.int32),
+        channels=np.ascontiguousarray(xs),
+    )
+
+
+def _assemble_frames_python(plan: dict, pcm: np.ndarray,
+                            streaminfo: meta.Streaminfo,
+                            first_frame_number: int) -> List[bytes]:
     B, C, N = pcm.shape
     bps = streaminfo.bits_per_sample
 
@@ -176,7 +239,11 @@ class BatchEncoder:
     def __init__(self, fp_or_path, options: Options, sample_rate: int,
                  bits_per_sample: int, channels: int,
                  total_samples: Optional[int] = None,
-                 batch_frames: int = 64, mesh=None):
+                 batch_frames: int = 64, mesh=None, analysis: str = "auto"):
+        # exact int64 residual math needs x64 even in f32-analysis mode
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        self.analysis = analysis
         if isinstance(fp_or_path, (str, bytes)):
             fp_or_path = open(fp_or_path, "wb+")
             self._owns_fp = True
@@ -190,6 +257,9 @@ class BatchEncoder:
         self._buf = np.empty(0, dtype=np.int32)
         self._block = options.block_size
         self._chans = channels
+        # in-flight (device plan, host pcm, raw chunk) awaiting assembly —
+        # lets device planning of batch k+1 overlap host assembly of batch k
+        self._pending: List = []
 
     def write(self, samples) -> None:
         samples = np.asarray(samples, dtype=np.int32)
@@ -198,23 +268,30 @@ class BatchEncoder:
         batch_len = frame_len * self.batch_frames
         while len(self._buf) >= batch_len:
             chunk, self._buf = self._buf[:batch_len], self._buf[batch_len:]
-            self._flush_batch(chunk)
+            self._dispatch_batch(chunk)
+            while len(self._pending) > 1:
+                self._drain_one()
 
-    def _flush_batch(self, chunk: np.ndarray) -> None:
-        enc = self.encoder
+    def _dispatch_batch(self, chunk: np.ndarray) -> None:
+        """Launch the (async) device planning for one batch of frames."""
         frame_len = self._block * self._chans
         B = len(chunk) // frame_len
-        enc.md5.update(samples_to_bytes(chunk, enc.streaminfo.bits_per_sample))
         pcm = chunk.reshape(B, self._block, self._chans).transpose(0, 2, 1)
         pcm = np.ascontiguousarray(pcm)
 
+        # pad ragged tail batches to the steady-state size so XLA compiles
+        # exactly one executable per configuration
         dev_pcm = pcm
+        if B < self.batch_frames:
+            dev_pcm = np.concatenate(
+                [pcm, np.zeros((self.batch_frames - B, self._chans,
+                                self._block), np.int32)])
         if self.mesh is not None:
-            dev_pcm = shard_batch(self.mesh, pcm)
+            dev_pcm = shard_batch(self.mesh, dev_pcm)
         o = self.options
         plan = encode_frames_plan(
             dev_pcm,
-            bits_per_sample=enc.streaminfo.bits_per_sample,
+            bits_per_sample=self.encoder.streaminfo.bits_per_sample,
             block_size=self._block,
             max_lpc_order=o.max_lpc_order,
             max_partition_order=o.max_partition_order,
@@ -222,9 +299,18 @@ class BatchEncoder:
             exhaustive=o.exhaustive_channel_correlation,
             window_kind=o.window if not isinstance(o.window, list)
             else tuple(o.window),
+            analysis=self.analysis,
         )
+        self._pending.append((plan, pcm, chunk))
+
+    def _drain_one(self) -> None:
+        """Assemble and emit the oldest in-flight batch (in order)."""
+        enc = self.encoder
+        plan, pcm, chunk = self._pending.pop(0)
+        enc.md5.update(samples_to_bytes(chunk, enc.streaminfo.bits_per_sample))
         frames = assemble_frames(plan, pcm, enc.streaminfo, enc.frame_number)
-        for i, data in enumerate(frames):
+        si = enc.streaminfo
+        for data in frames:
             enc.seekpoints.append(EncoderSeekPoint(
                 enc.samples_written, enc.frame_bytes_written, self._block))
             enc.fp.write(data)
@@ -232,7 +318,6 @@ class BatchEncoder:
             enc.samples_written += self._block
             enc.frame_number += 1
             size = len(data)
-            si = enc.streaminfo
             if 0 < size < meta.Streaminfo.MAX_FRAME_SIZE:
                 si.minimum_frame_size = (size if si.minimum_frame_size is None
                                          else min(si.minimum_frame_size, size))
@@ -244,11 +329,13 @@ class BatchEncoder:
         frame_len = self._block * self._chans
         # whole frames first (small batch), then the partial tail via the
         # sequential host encoder (matches FlacSampleWriter output)
-        while len(self._buf) >= frame_len:
+        if len(self._buf) >= frame_len:
             n_full = len(self._buf) // frame_len
             chunk = self._buf[:n_full * frame_len]
             self._buf = self._buf[n_full * frame_len:]
-            self._flush_batch(chunk)
+            self._dispatch_batch(chunk)
+        while self._pending:
+            self._drain_one()
         if len(self._buf):
             enc.update_md5(self._buf)
             enc.encode(list(deinterleave(self._buf, self._chans)))

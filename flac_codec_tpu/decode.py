@@ -217,6 +217,54 @@ class Decoder:
         self.last_header = header
         return samples
 
+    def read_frames_bulk(self, n_frames: int = 256) -> Optional[np.ndarray]:
+        """Decode up to ``n_frames`` frames at once via the native decoder,
+        returning interleaved int32 samples (None at end of stream).
+
+        Falls back to the per-frame Python path when the native engine is
+        unavailable, and re-runs the Python parser at the failure point to
+        raise the precise error when the native decoder stops early.
+        """
+        nat = _native()
+        max_block = self.streaminfo.maximum_block_size or 65535
+        if nat is None:
+            frames = []
+            for _ in range(n_frames):
+                f = self.read_frame()
+                if f is None:
+                    break
+                frames.append(interleave(f))
+            if not frames:
+                return None
+            return np.concatenate(frames)
+
+        self.r.fill_to_eof()
+        buf = np.frombuffer(self.r.data, dtype=np.uint8)
+        total = self.total_samples
+        remaining = None if total is None else total - self.current_sample
+        if remaining is not None and remaining <= 0:
+            return None
+        si = self.streaminfo
+        out, sizes, end_bitpos, err = nat.decode_frames(
+            buf, self.r.pos, n_frames, si.sample_rate, si.channels,
+            si.bits_per_sample, max_block, remaining)
+        self.r.pos = end_bitpos
+        self.current_sample += int(sizes.sum())
+        if err != 0 and len(sizes) < n_frames:
+            at_end = (
+                # declared total reached exactly
+                (total is not None and self.current_sample >= total)
+                # unknown total: EOF at a byte-aligned frame boundary
+                or (total is None and err == 1))
+            if not at_end:
+                # let the Python parser raise the precise error
+                self.r.pos = (self.r.pos + 7) & ~7
+                f = self.read_frame()
+                if f is not None:
+                    extra = interleave(f)
+                    out = np.concatenate([out, extra]) if len(out) else extra
+        return out if len(out) else None
+
     def seek(self, sample: int) -> int:
         """Seek to <= ``sample`` using the SEEKTABLE; returns the sample
         actually positioned to (reference: src/decode.rs:1452-1491)."""
@@ -251,10 +299,10 @@ def verify(path_or_fp) -> Verified:
     md5 = hashlib.md5()
     bps = dec.bits_per_sample
     while True:
-        frame = dec.read_frame()
-        if frame is None:
+        chunk = dec.read_frames_bulk()
+        if chunk is None:
             break
-        md5.update(samples_to_bytes(interleave(frame), bps))
+        md5.update(samples_to_bytes(chunk, bps))
     if dec.streaminfo.md5 is None:
         return Verified.NO_MD5
     return (Verified.MD5_MATCH if md5.digest() == dec.streaminfo.md5
@@ -328,10 +376,10 @@ class FlacSampleReader:
         if out:
             self.consume(out[0].size)
         while True:
-            frame = self.decoder.read_frame()
-            if frame is None:
+            chunk = self.decoder.read_frames_bulk()
+            if chunk is None:
                 break
-            out.append(interleave(frame))
+            out.append(chunk)
         if not out:
             return np.empty(0, dtype=np.int32)
         return np.concatenate(out)

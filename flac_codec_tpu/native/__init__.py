@@ -58,6 +58,12 @@ class Native:
         lib.nat_lpc_residuals.restype = ctypes.c_int32
         lib.nat_lpc_residuals.argtypes = [i64p, ctypes.c_size_t, i32p, ctypes.c_uint32, ctypes.c_uint32, i32p]
         i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.nat_decode_frames.restype = ctypes.c_int64
+        lib.nat_decode_frames.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint64,
+            i32p, u32p, ctypes.POINTER(ctypes.c_uint64), u32p]
         lib.nat_assemble_batch.restype = ctypes.c_int64
         lib.nat_assemble_batch.argtypes = [
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
@@ -67,7 +73,8 @@ class Native:
             i32p,                      # qcoeffs
             u8p, u8p, u8p,             # po, rice_bits, kinds
             i32p, i32p, i32p,          # params, residuals, channels
-            u8p, ctypes.c_uint32, u32p, ctypes.c_uint32]
+            u8p, ctypes.c_uint32, u32p, ctypes.c_uint32,
+            u8p, u64p, u64p]           # blobs, blob_start_bits, blob_bits
 
     @staticmethod
     def _u8(buf) -> "ctypes.POINTER(ctypes.c_uint8)":
@@ -142,7 +149,9 @@ class Native:
                        po: np.ndarray, rice_bits: np.ndarray,
                        kinds: np.ndarray, params: np.ndarray,
                        residuals: np.ndarray, channels: np.ndarray,
-                       nthreads: int = 0):
+                       nthreads: int = 0, blobs: np.ndarray = None,
+                       blob_start_bits: np.ndarray = None,
+                       blob_bits: np.ndarray = None):
         """Assemble a whole batch of frames; returns list of per-frame bytes.
 
         All plan arrays are (S, B, ...) contiguous; ``channels`` holds the
@@ -162,6 +171,14 @@ class Native:
 
         u8, i8, i32, u32 = (ctypes.c_uint8, ctypes.c_int8, ctypes.c_int32,
                             ctypes.c_uint32)
+        u64 = ctypes.c_uint64
+        if blobs is not None:
+            blob_args = (p(blobs, u8), p(blob_start_bits, u64),
+                         p(blob_bits, u64))
+        else:
+            blob_args = (ctypes.POINTER(ctypes.c_uint8)(),
+                         ctypes.POINTER(ctypes.c_uint64)(),
+                         ctypes.POINTER(ctypes.c_uint64)())
         total = self._lib.nat_assemble_batch(
             B, N, S, bps_base, sample_rate, first_frame_number,
             p(assignment, u8),
@@ -169,9 +186,30 @@ class Native:
             p(shift, i8), p(qcoeffs, i32),
             p(po, u8), p(rice_bits, u8), p(kinds, u8),
             p(params, i32), p(residuals, i32), p(channels, i32),
-            p(out, u8), max_bytes, p(lengths, u32), nthreads)
+            p(out, u8), max_bytes, p(lengths, u32), nthreads, *blob_args)
         assert total >= 0
         return [out[b, :lengths[b]].tobytes() for b in range(B)]
+
+    def decode_frames(self, buf: np.ndarray, start_bitpos: int,
+                      n_frames: int, sample_rate: int, channels: int,
+                      bps: int, max_block: int, remaining_samples):
+        """Decode up to n_frames; returns (interleaved int32 array,
+        block_sizes, end_bitpos, error_code)."""
+        out = np.empty(n_frames * max_block * channels, dtype=np.int32)
+        sizes = np.zeros(n_frames, dtype=np.uint32)
+        end = ctypes.c_uint64(0)
+        err = np.zeros(1, dtype=np.uint32)
+        rem = (1 << 64) - 1 if remaining_samples is None else remaining_samples
+        n = self._lib.nat_decode_frames(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            start_bitpos, n_frames, sample_rate, channels, bps, max_block,
+            rem,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.byref(end),
+            err.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        total = int(sizes[:n].sum()) * channels
+        return out[:total], sizes[:n], int(end.value), int(err[0])
 
     def lpc_residuals(self, x: np.ndarray, q: np.ndarray, shift: int):
         x = np.ascontiguousarray(x, dtype=np.int64)

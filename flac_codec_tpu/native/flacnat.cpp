@@ -332,6 +332,32 @@ static void put_frame_number(BitSink& w, uint64_t num) {
     }
 }
 
+// Copy nbits from src (starting at srcpos) into dst at dstpos, OR-ing into
+// place (dst pre-zeroed past dstpos).  Used to splice device-packed
+// residual blobs between host-written subframe headers.
+static void copy_bits(uint8_t* dst, uint64_t dstpos,
+                      const uint8_t* src, uint64_t srcpos, uint64_t nbits) {
+    // byte-at-a-time: read 8 source bits starting at srcpos, emit at dstpos
+    while (nbits >= 8) {
+        uint64_t sb = srcpos >> 3;
+        uint32_t off = (uint32_t)(srcpos & 7);
+        uint8_t v = off == 0 ? src[sb]
+                             : (uint8_t)((src[sb] << off) | (src[sb + 1] >> (8 - off)));
+        or_bits(dst, dstpos, v, 8);
+        dstpos += 8;
+        srcpos += 8;
+        nbits -= 8;
+    }
+    if (nbits) {
+        uint64_t sb = srcpos >> 3;
+        uint32_t off = (uint32_t)(srcpos & 7);
+        uint16_t win = (uint16_t)((src[sb] << 8) | src[sb + 1]);
+        uint8_t v = (uint8_t)((win >> (8 - off)) & 0xFF);
+        v >>= (8 - nbits);
+        or_bits(dst, dstpos, v, (uint32_t)nbits);
+    }
+}
+
 struct SlotPlan {
     const uint8_t *sub_type, *wasted, *order, *precision, *po, *rice_bits;
     const int8_t* shift;
@@ -351,7 +377,12 @@ int64_t nat_assemble_batch(
     const uint8_t* precision, const int8_t* shift, const int32_t* qcoeffs,
     const uint8_t* po, const uint8_t* rice_bits_, const uint8_t* kinds,
     const int32_t* params, const int32_t* residuals, const int32_t* channels,
-    uint8_t* out, uint32_t max_bytes, uint32_t* lengths, uint32_t nthreads) {
+    uint8_t* out, uint32_t max_bytes, uint32_t* lengths, uint32_t nthreads,
+    // optional device-packed residual blobs (byte stream, MSB-first);
+    // blob (s, b) occupies bits [blob_start_bits[s*B+b],
+    // blob_start_bits[..]+blob_bits[..]).  NULL -> pack from residuals.
+    const uint8_t* blobs, const uint64_t* blob_start_bits,
+    const uint64_t* blob_bits) {
     if (!tables_ready) init_tables();
 
     auto do_frame = [&](uint32_t b) {
@@ -419,7 +450,13 @@ int64_t nat_assemble_batch(
                     w.put_signed(q[i], precision[sb]);
             }
 
-            // residual section
+            // residual section: splice the device-packed blob if present
+            if (blobs != nullptr) {
+                copy_bits(frame_buf, w.bitpos, blobs, blob_start_bits[sb],
+                          blob_bits[sb]);
+                w.bitpos += blob_bits[sb];
+                continue;
+            }
             uint32_t rb = rice_bits_[sb];
             uint32_t p_order = po[sb];
             uint32_t count = 1u << p_order;
@@ -475,6 +512,374 @@ int64_t nat_assemble_batch(
     int64_t total = 0;
     for (uint32_t b = 0; b < B; b++) total += lengths[b];
     return total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native frame decoder.
+//
+// Full FLAC frame decode loop in C++ (reference decode path:
+// src/decode.rs:1311-1856): header parse + CRC-8, subframe decode (Rice
+// runs, LPC/fixed recurrence), inverse stereo decorrelation, CRC-16, and
+// interleave.  The Python Decoder delegates whole batches of frames here
+// when the stream is buffered in memory; device-side decode
+// (ops/predict.py) covers the batched TPU path.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitGet {
+    const uint8_t* buf;
+    uint64_t bitpos;
+    uint64_t limit;  // total bits available
+
+    bool fits(uint64_t n) const { return bitpos + n <= limit; }
+
+    inline uint32_t get(uint32_t nbits) {  // nbits <= 32
+        uint32_t v = 0;
+        uint32_t got = 0;
+        while (got < nbits) {
+            uint64_t byte = bitpos >> 3;
+            uint32_t bib = (uint32_t)(bitpos & 7);
+            uint32_t room = 8 - bib;
+            uint32_t take = (nbits - got) < room ? (nbits - got) : room;
+            uint8_t chunk = (uint8_t)((buf[byte] >> (room - take)) & ((1u << take) - 1));
+            v = (v << take) | chunk;
+            bitpos += take;
+            got += take;
+        }
+        return v;
+    }
+    inline int64_t get_signed(uint32_t nbits) {
+        uint64_t v = 0;
+        for (uint32_t got = 0; got < nbits;) {
+            uint64_t byte = bitpos >> 3;
+            uint32_t bib = (uint32_t)(bitpos & 7);
+            uint32_t room = 8 - bib;
+            uint32_t take = (nbits - got) < room ? (nbits - got) : room;
+            uint8_t chunk = (uint8_t)((buf[byte] >> (room - take)) & ((1u << take) - 1));
+            v = (v << take) | chunk;
+            bitpos += take;
+            got += take;
+        }
+        if (nbits < 64 && (v & ((uint64_t)1 << (nbits - 1))))
+            v |= ~((((uint64_t)1) << nbits) - 1);
+        return (int64_t)v;
+    }
+    inline uint32_t get_unary() {
+        uint32_t q = 0;
+        for (;;) {
+            uint64_t byte = bitpos >> 3;
+            uint32_t bib = (uint32_t)(bitpos & 7);
+            uint8_t cur = (uint8_t)(buf[byte] << bib);
+            if (cur == 0) {
+                q += 8 - bib;
+                bitpos += 8 - bib;
+                if (bitpos >= limit) return q;  // caller checks fits()
+            } else {
+                uint32_t lz = (uint32_t)__builtin_clz((uint32_t)cur) - 24u;
+                q += lz;
+                bitpos += lz + 1;
+                return q;
+            }
+        }
+    }
+    inline void align() { bitpos = (bitpos + 7) & ~7ull; }
+};
+
+static const int64_t FIXED_Q[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+// error codes
+enum {
+    DEC_OK = 0, DEC_EOF = 1, DEC_SYNC = 2, DEC_CRC8 = 3, DEC_CRC16 = 4,
+    DEC_HDR = 5, DEC_SUBHDR = 6, DEC_RESID = 7, DEC_PARAMS = 8,
+    DEC_SHORT_BLOCK = 9,
+};
+
+static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch) {
+    if (!g.fits(8)) return DEC_EOF;
+    if (g.get(1) != 0) return DEC_SUBHDR;
+    uint32_t code = g.get(6);
+    uint32_t wasted = 0;
+    if (g.get(1)) {
+        wasted = g.get_unary() + 1;
+        if (!g.fits(1)) return DEC_EOF;
+    }
+    if (wasted >= bps) return DEC_SUBHDR;
+    uint32_t eff = bps - wasted;
+
+    uint32_t order;
+    if (code == 0) {                       // constant
+        if (!g.fits(eff)) return DEC_EOF;
+        int64_t v = g.get_signed(eff);
+        for (uint32_t i = 0; i < n; i++) ch[i] = v;
+        order = 0xFFFF;                    // no residuals
+    } else if (code == 1) {                // verbatim
+        if (!g.fits((uint64_t)eff * n)) return DEC_EOF;
+        for (uint32_t i = 0; i < n; i++) ch[i] = g.get_signed(eff);
+        order = 0xFFFF;
+    } else if (code >= 8 && code <= 12) {
+        order = code - 8;
+    } else if (code >= 32) {
+        order = (code & 31) + 1;
+    } else {
+        return DEC_SUBHDR;
+    }
+
+    if (order != 0xFFFF) {
+        if (order > n) return DEC_SUBHDR;
+        if (!g.fits((uint64_t)eff * order)) return DEC_EOF;
+        for (uint32_t i = 0; i < order; i++) ch[i] = g.get_signed(eff);
+
+        int64_t q[32];
+        uint32_t qorder = order, shift = 0;
+        if (code >= 32) {                  // LPC params
+            if (!g.fits(9)) return DEC_EOF;
+            uint32_t pcode = g.get(4);
+            if (pcode == 0xF) return DEC_PARAMS;
+            uint32_t precision = pcode + 1;
+            int64_t sh = g.get_signed(5);
+            if (sh < 0) return DEC_PARAMS;
+            shift = (uint32_t)sh;
+            if (!g.fits((uint64_t)precision * order)) return DEC_EOF;
+            for (uint32_t i = 0; i < order; i++)
+                q[i] = g.get_signed(precision);
+        } else {
+            for (uint32_t i = 0; i < 4; i++) q[i] = FIXED_Q[order][i];
+        }
+
+        // residuals
+        if (!g.fits(6)) return DEC_EOF;
+        uint32_t method = g.get(2);
+        if (method > 1) return DEC_RESID;
+        uint32_t rb = method == 0 ? 4 : 5;
+        uint32_t escape = (1u << rb) - 1;
+        uint32_t po = g.get(4);
+        uint32_t count = 1u << po;
+        uint32_t part_len = n / count;
+        if (part_len == 0) return DEC_RESID;
+        uint32_t n_res = n - order;
+        uint32_t p0 = (int64_t)n_res - (int64_t)(count - 1) * part_len;
+        if ((int64_t)n_res - (int64_t)(count - 1) * part_len < 1 || p0 > part_len)
+            return DEC_RESID;
+        uint32_t pos = order;
+        for (uint32_t p = 0; p < count; p++) {
+            uint32_t m = p == 0 ? p0 : part_len;
+            if (!g.fits(rb)) return DEC_EOF;
+            uint32_t param = g.get(rb);
+            if (param == escape) {
+                if (!g.fits(5)) return DEC_EOF;
+                uint32_t width = g.get(5);
+                if (width == 0) {
+                    for (uint32_t i = 0; i < m; i++) ch[pos + i] = 0;
+                } else {
+                    if (!g.fits((uint64_t)width * m)) return DEC_EOF;
+                    for (uint32_t i = 0; i < m; i++)
+                        ch[pos + i] = g.get_signed(width);
+                }
+            } else {
+                for (uint32_t i = 0; i < m; i++) {
+                    uint32_t qq, lsb, u;
+                    // fast path: one unaligned 64-bit window covers the
+                    // whole unary+LSB code in the common case
+                    uint64_t byte = g.bitpos >> 3;
+                    if (byte + 8 <= g.limit >> 3) {
+                        uint64_t w;
+                        memcpy(&w, g.buf + byte, 8);
+                        w = __builtin_bswap64(w) << (g.bitpos & 7);
+                        uint32_t lz = w ? (uint32_t)__builtin_clzll(w) : 64;
+                        if (lz + 1 + param <= 56) {
+                            qq = lz;
+                            lsb = param
+                                ? (uint32_t)((w >> (64 - (lz + 1 + param)))
+                                             & ((1u << param) - 1))
+                                : 0;
+                            g.bitpos += lz + 1 + param;
+                            u = (qq << param) | lsb;
+                            ch[pos + i] = (u & 1) ? -((int64_t)(u >> 1)) - 1
+                                                  : (int64_t)(u >> 1);
+                            continue;
+                        }
+                    }
+                    qq = g.get_unary();
+                    if (!g.fits(param + 1)) return DEC_EOF;
+                    lsb = param ? g.get(param) : 0;
+                    u = (qq << param) | lsb;
+                    ch[pos + i] = (u & 1) ? -((int64_t)(u >> 1)) - 1
+                                          : (int64_t)(u >> 1);
+                }
+            }
+            pos += m;
+        }
+
+        // predictor
+        for (uint32_t i = order; i < n; i++) {
+            int64_t acc = 0;
+            for (uint32_t j = 0; j < qorder && j < 32; j++)
+                acc += q[j] * ch[i - 1 - j];
+            ch[i] += acc >> shift;
+        }
+    }
+
+    if (wasted) {
+        for (uint32_t i = 0; i < n; i++) ch[i] <<= wasted;
+    }
+    return DEC_OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode up to n_frames frames starting at start_bitpos (byte-aligned).
+// Returns frames decoded; *error = DEC_* for the stop reason.
+// out receives interleaved int32; block_sizes[f] the per-frame sample count.
+int64_t nat_decode_frames(
+    const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
+    uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,
+    uint32_t max_block, uint64_t remaining_samples /* ~0ull = unknown */,
+    int32_t* out, uint32_t* block_sizes, uint64_t* end_bitpos,
+    uint32_t* error) {
+    if (!tables_ready) init_tables();
+    BitGet g{buf, start_bitpos, buf_bytes * 8};
+    static thread_local std::vector<int64_t> chbuf;
+    *error = DEC_OK;
+
+    int64_t decoded = 0;
+    int32_t* out_ptr = out;
+    for (uint32_t f = 0; f < n_frames; f++) {
+        g.align();
+        uint64_t frame_start_byte = g.bitpos >> 3;
+        if (remaining_samples != ~0ull && remaining_samples == 0) {
+            *error = DEC_EOF;
+            break;
+        }
+        if (!g.fits(40)) { *error = DEC_EOF; break; }
+
+        // --- header ---
+        if (g.get(15) != 0b111111111111100) { *error = DEC_SYNC; break; }
+        g.get(1);  // blocking strategy
+        uint32_t bsc = g.get(4), src = g.get(4), ca = g.get(4), bpc = g.get(3);
+        g.get(1);
+        // frame number varint
+        if (!g.fits(8)) { *error = DEC_EOF; break; }
+        uint32_t b0 = g.get(8);
+        uint32_t cont = 0;
+        if (b0 >= 0x80) {
+            uint32_t lead = b0;
+            while (lead & 0x80) { cont++; lead <<= 1; }
+            if (cont == 1 || cont > 7) { *error = DEC_HDR; break; }
+            cont -= 1;
+            if (!g.fits(8ull * cont)) { *error = DEC_EOF; break; }
+            for (uint32_t i = 0; i < cont; i++) {
+                uint32_t cb = g.get(8);
+                if ((cb >> 6) != 0b10) { *error = DEC_HDR; goto done; }
+            }
+        }
+        uint32_t block_size;
+        {
+            static const uint32_t BS[16] = {0, 192, 576, 1152, 2304, 4608, 0, 0,
+                                            256, 512, 1024, 2048, 4096, 8192,
+                                            16384, 32768};
+            if (bsc == 0) { *error = DEC_HDR; break; }
+            else if (bsc == 6) { if (!g.fits(8)) { *error = DEC_EOF; break; } block_size = g.get(8) + 1; }
+            else if (bsc == 7) { if (!g.fits(16)) { *error = DEC_EOF; break; } block_size = g.get(16) + 1; }
+            else block_size = BS[bsc];
+        }
+        uint32_t rate;
+        {
+            static const uint32_t SR[16] = {0, 88200, 176400, 192000, 8000,
+                                            16000, 22050, 24000, 32000, 44100,
+                                            48000, 96000, 0, 0, 0, 0};
+            if (src == 0) rate = sample_rate;
+            else if (src == 12) { if (!g.fits(8)) { *error = DEC_EOF; break; } rate = g.get(8) * 1000; }
+            else if (src == 13) { if (!g.fits(16)) { *error = DEC_EOF; break; } rate = g.get(16); }
+            else if (src == 14) { if (!g.fits(16)) { *error = DEC_EOF; break; } rate = g.get(16) * 10; }
+            else if (src == 15) { *error = DEC_HDR; break; }
+            else rate = SR[src];
+        }
+        uint32_t fbps;
+        {
+            static const uint32_t BP[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+            if (bpc == 0) fbps = bps;
+            else if (bpc == 3) { *error = DEC_HDR; break; }
+            else fbps = BP[bpc];
+        }
+        uint32_t ch_count = ca <= 7 ? ca + 1 : 2;
+        if (ca > 10) { *error = DEC_HDR; break; }
+
+        // CRC-8 over header bytes
+        {
+            uint64_t crc_byte = g.bitpos >> 3;
+            if (!g.fits(8)) { *error = DEC_EOF; break; }
+            uint32_t expected = g.get(8);
+            uint32_t actual = nat_crc8(buf + frame_start_byte,
+                                       crc_byte - frame_start_byte, 0);
+            if (actual != expected) { *error = DEC_CRC8; break; }
+        }
+
+        // streaminfo cross-validation (reference: src/stream.rs:279-313)
+        if (block_size > max_block || rate != sample_rate
+            || ch_count != channels || fbps != bps) {
+            *error = DEC_HDR; break;
+        }
+        if (remaining_samples != ~0ull
+            && !(block_size == remaining_samples || block_size > 14)) {
+            *error = DEC_SHORT_BLOCK; break;
+        }
+
+        // --- subframes ---
+        if (chbuf.size() < (size_t)ch_count * block_size)
+            chbuf.resize((size_t)ch_count * block_size);
+        int rc = DEC_OK;
+        for (uint32_t c = 0; c < ch_count && rc == DEC_OK; c++) {
+            uint32_t sub_bps = fbps;
+            if ((ca == 8 && c == 1) || (ca == 9 && c == 0)
+                || (ca == 10 && c == 1))
+                sub_bps += 1;
+            rc = decode_subframe(g, sub_bps, block_size,
+                                 chbuf.data() + (size_t)c * block_size);
+        }
+        if (rc != DEC_OK) { *error = (uint32_t)rc; break; }
+
+        g.align();
+        {
+            uint64_t crc_byte = g.bitpos >> 3;
+            if (!g.fits(16)) { *error = DEC_EOF; break; }
+            uint32_t expected = g.get(16);
+            uint32_t actual = nat_crc16(buf + frame_start_byte,
+                                        crc_byte - frame_start_byte, 0);
+            if (actual != expected) { *error = DEC_CRC16; break; }
+        }
+
+        // --- inverse decorrelation + interleave ---
+        int64_t* c0 = chbuf.data();
+        int64_t* c1 = chbuf.data() + block_size;
+        if (ca == 8) {          // left-side
+            for (uint32_t i = 0; i < block_size; i++) c1[i] = c0[i] - c1[i];
+        } else if (ca == 9) {   // side-right
+            for (uint32_t i = 0; i < block_size; i++) c0[i] = c0[i] + c1[i];
+        } else if (ca == 10) {  // mid-side
+            for (uint32_t i = 0; i < block_size; i++) {
+                int64_t side = c1[i];
+                int64_t sum = c0[i] * 2 + (side & 1);
+                c0[i] = (sum + side) >> 1;
+                c1[i] = (sum - side) >> 1;
+            }
+        }
+        for (uint32_t i = 0; i < block_size; i++)
+            for (uint32_t c = 0; c < ch_count; c++)
+                *out_ptr++ = (int32_t)chbuf[(size_t)c * block_size + i];
+
+        block_sizes[f] = block_size;
+        if (remaining_samples != ~0ull) remaining_samples -= block_size;
+        decoded++;
+    }
+done:
+    *end_bitpos = g.bitpos;
+    return decoded;
 }
 
 }  // extern "C"

@@ -1,0 +1,133 @@
+"""Device-side residual bit packing (SURVEY §7 build step 5).
+
+Packs each subframe's complete residual section — coding method, partition
+order, partition headers, Rice/escape-coded residuals — into a single
+uint32 word buffer ON DEVICE via per-symbol bit-length computation, an
+intra-subframe prefix sum over code lengths, and a two-word scatter-OR per
+symbol (implemented as scatter-add: symbol bit fields never overlap, and
+unary zeros are implicit in the zero-initialised buffer).
+
+This removes the raw residual arrays from the device->host transfer — the
+host receives ~compressed-size packed bits plus tiny parameter arrays and
+just splices blobs between headers (native copy_bits).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rice import KIND_CONSTANT, KIND_ESCAPE, KIND_RICE, MAX_PARTITIONS, zigzag
+
+
+def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
+                           po: jnp.ndarray, kinds: jnp.ndarray,
+                           params: jnp.ndarray, rice_bits: jnp.ndarray,
+                           block_size: int, out_words: int,
+                           base_word: jnp.ndarray, budget_bits: int):
+    """Pack one slot's residual sections for the whole batch.
+
+    res: (B, N) int64 residuals at positions >= order.
+    order/po/rice_bits: (B,).  kinds/params: (B, 64).
+    base_word: (B,) starting word index of each subframe's blob in the
+        shared output buffer (32-bit aligned blob starts).
+    budget_bits: per-subframe blob capacity; bits past it are dropped (the
+        caller detects overflow via the returned bit length and falls back
+        to host encoding for that frame).
+
+    Returns (words (out_words,) uint32, bit_len (B,)) — ``words`` must be
+    summed (scatter-add) with other slots' buffers by the caller.
+    """
+    B, N = res.shape
+    pos = jnp.arange(N)
+    in_res = pos[None, :] >= order[:, None]
+
+    parts = jnp.int64(1) << po.astype(jnp.int64)          # (B,)
+    part_len = block_size // parts                         # (B,)
+    part_idx = jnp.minimum(pos[None, :] // part_len[:, None],
+                           MAX_PARTITIONS - 1)             # (B, N)
+    k_per = jnp.take_along_axis(params.astype(jnp.int64), part_idx, axis=1)
+    kind_per = jnp.take_along_axis(kinds.astype(jnp.int32), part_idx, axis=1)
+
+    u = zigzag(res).astype(jnp.int64)
+    rb = rice_bits.astype(jnp.int64)[:, None]              # 4 or 5
+
+    # --- per-sample code lengths ---
+    quotient = jax.lax.shift_right_logical(u, jnp.maximum(k_per, 0))
+    sample_len = jnp.where(
+        kind_per == KIND_RICE, quotient + k_per + 1,
+        jnp.where(kind_per == KIND_ESCAPE, k_per, 0))
+    sample_len = jnp.where(in_res, sample_len, 0)
+
+    # fold per-partition header lengths into the first in-residual sample of
+    # each partition; partitions with no samples at all cannot occur (p0>=1)
+    part_start_pos = part_idx * part_len[:, None]          # (B, N) start of my partition
+    first_of_part = (pos[None, :] == jnp.maximum(part_start_pos,
+                                                 order[:, None]))
+    hdr_len_per = jnp.where(kind_per == KIND_RICE, rb, rb + 5)
+    extra = jnp.where(first_of_part & in_res, hdr_len_per, 0)
+
+    # section prefix: 2 bits method + 4 bits partition order
+    lens = sample_len + extra
+    ends = jnp.cumsum(lens, axis=1) + 6                    # bit offset after sample i
+    bit_len = ends[:, -1]                                  # (B,) total section bits
+
+    base_bits = base_word.astype(jnp.int64) * 32
+
+    words = jnp.zeros(out_words, jnp.uint32)
+
+    def scatter(values, widths, end_offsets, mask):
+        """OR `widths`-bit `values` ending at `end_offsets` into words."""
+        start = end_offsets - widths
+        word0 = jax.lax.shift_right_logical(start, jnp.int64(5))
+        sh = start & 31
+        # 64-bit window anchored at word0's bit 0
+        pattern = jax.lax.shift_left(
+            values.astype(jnp.uint64),
+            (64 - sh - widths).astype(jnp.uint64))
+        hi = jax.lax.shift_right_logical(pattern, jnp.uint64(32)).astype(jnp.uint32)
+        lo = (pattern & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        hi = jnp.where(mask, hi, 0)
+        lo = jnp.where(mask, lo, 0)
+        idx0 = jnp.where(mask, word0, 0).astype(jnp.int32)
+        return (jnp.zeros(out_words, jnp.uint32)
+                .at[idx0.reshape(-1)].add(hi.reshape(-1), mode="drop")
+                .at[(idx0 + 1).reshape(-1)].add(lo.reshape(-1), mode="drop"))
+
+    in_budget = ends <= budget_bits  # (B, N) per-sample budget guard
+
+    # 1. section prefix: method (2) + partition order (4) at offset 0..6
+    prefix_val = (jnp.where(rice_bits == 4, 0, 1).astype(jnp.int64) << 4) \
+        | po.astype(jnp.int64)
+    words = words + scatter(prefix_val, jnp.full(B, 6, jnp.int64),
+                            base_bits + 6, jnp.ones(B, bool))
+
+    # 2. partition headers: placed immediately before their first sample's
+    #    code; value = rice param, or escape code + 5-bit escape size /
+    #    constant marker
+    escape_code = (jnp.int64(1) << rb[:, 0]) - 1           # (B,)
+    hdr_val_per = jnp.where(
+        kind_per == KIND_RICE, k_per,
+        (escape_code[:, None] << 5)
+        | jnp.where(kind_per == KIND_ESCAPE, k_per, 0))
+    hdr_mask = first_of_part & in_res & in_budget
+    hdr_end = base_bits[:, None] + ends - sample_len       # header ends where sample code begins
+    words = words + scatter(hdr_val_per, hdr_len_per, hdr_end, hdr_mask)
+
+    # 2b. empty-tail partitions: a partition whose only content is its
+    #     header (n == 0 impossible; constant partitions have no sample
+    #     bits but DO have samples, handled above)
+
+    # 3. sample codes
+    #    rice: (1 << k) | (u & mask) in the low k+1 bits (unary zeros implicit)
+    #    escape: u's signed value in k bits
+    k_mask = (jnp.int64(1) << jnp.maximum(k_per, 0)) - 1
+    rice_val = (jnp.int64(1) << k_per) | (u & k_mask)
+    esc_mask = (jnp.int64(1) << jnp.maximum(k_per, 1)) - 1
+    esc_val = res & jnp.where(k_per > 0, esc_mask, 0)
+    val = jnp.where(kind_per == KIND_RICE, rice_val, esc_val)
+    width = jnp.where(kind_per == KIND_RICE, k_per + 1, k_per)
+    mask = in_res & (kind_per != KIND_CONSTANT) & in_budget
+    words = words + scatter(val, width, base_bits[:, None] + ends, mask)
+
+    return words, bit_len

@@ -166,16 +166,45 @@ def _gather_plans(plans, src):
     return out
 
 
+def _pack_plan_channels(plan: dict, block_size: int, budget_bits: int):
+    """Pack each output channel's residual section on device and drop the
+    raw residual arrays from the plan (device-side bit packing)."""
+    from .bitpack import pack_residual_sections
+
+    channels = plan["channels"]
+    S = len(channels)
+    B = plan["assignment"].shape[0]
+    per_sub_words = (budget_bits * block_size + 31) // 32 + 2
+    out_words = B * S * per_sub_words + 2
+
+    words = jnp.zeros(out_words, jnp.uint32)
+    for s, ch in enumerate(channels):
+        base_word = (jnp.arange(B) * S + s) * per_sub_words
+        w, bits = pack_residual_sections(
+            ch["residuals"].astype(jnp.int64), ch["order"].astype(jnp.int32),
+            ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
+            ch["rice_bits"].astype(jnp.int32), block_size, out_words,
+            base_word, budget_bits * block_size)
+        words = words + w
+        ch["res_bits"] = bits
+        ch["res_overflow"] = bits > budget_bits * block_size
+        del ch["residuals"]
+    plan["packed_words"] = words
+    plan["packed_meta"] = jnp.array([S, per_sub_words], jnp.int32)
+    return plan
+
+
 @partial(jax.jit, static_argnames=("bits_per_sample", "block_size",
                                    "max_lpc_order", "max_partition_order",
                                    "mid_side", "exhaustive", "window_kind",
-                                   "analysis"))
+                                   "analysis", "pack_budget"))
 def encode_frames_plan(pcm: jnp.ndarray, *, bits_per_sample: int,
                        block_size: int, max_lpc_order,
                        max_partition_order: int, mid_side: bool = True,
                        exhaustive: bool = True,
                        window_kind=("tukey", 0.5),
-                       analysis: str = "auto"):
+                       analysis: str = "auto",
+                       pack_budget: int = 0):
     """Plan encoding for a batch of frames.
 
     pcm: (B, C, N) int32.  ``analysis`` chooses the float dtype for LPC
@@ -241,10 +270,14 @@ def encode_frames_plan(pcm: jnp.ndarray, *, bits_per_sample: int,
         assignment = codes[choice]
         ch0 = _gather_plans(plans, src0[choice])
         ch1 = _gather_plans(plans, src1[choice])
-        return {"assignment": assignment, "channels": [ch0, ch1]}
+        plan = {"assignment": assignment, "channels": [ch0, ch1]}
+    else:
+        # independent layout (mono, >2 channels, or 32 bps stereo)
+        assignment = jnp.full(B, C - 1, jnp.uint8)
+        chans = [analyze(pcm[:, c].astype(jnp.int64), bits_per_sample)
+                 for c in range(C)]
+        plan = {"assignment": assignment, "channels": chans}
 
-    # independent layout (mono, >2 channels, or 32 bps stereo)
-    assignment = jnp.full(B, C - 1, jnp.uint8)
-    chans = [analyze(pcm[:, c].astype(jnp.int64), bits_per_sample)
-             for c in range(C)]
-    return {"assignment": assignment, "channels": chans}
+    if pack_budget:
+        plan = _pack_plan_channels(plan, block_size, pack_budget)
+    return plan

@@ -120,7 +120,8 @@ def _write_subframe_from_plan(w: BitWriter, ch_plan: dict, b: int,
 
 
 def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
-                    first_frame_number: int) -> List[bytes]:
+                    first_frame_number: int,
+                    fallback_options=None) -> List[bytes]:
     """Turn a device plan + PCM batch into serialized FLAC frames.
 
     Uses the native C++ batch assembler (one call per batch, thread pool
@@ -129,19 +130,26 @@ def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
     from .. import native
 
     plan = jax.tree_util.tree_map(np.asarray, plan)
-    # trim any tail-batch padding (plans are dispatched at a fixed size)
+    # trim any tail-batch padding (plans are dispatched at a fixed size);
+    # packed_words/packed_meta are global (not batch-major) and stay whole
     B = pcm.shape[0]
-    plan = jax.tree_util.tree_map(lambda a: a[:B], plan)
+    plan = dict(plan)
+    plan["assignment"] = plan["assignment"][:B]
+    plan["channels"] = [{k: v[:B] for k, v in ch.items()}
+                       for ch in plan["channels"]]
     nat = native.load()
     if nat is not None:
         return _assemble_frames_native(nat, plan, pcm, streaminfo,
-                                       first_frame_number)
+                                       first_frame_number, fallback_options)
+    if "packed_words" in plan:
+        raise RuntimeError("device-packed plans need the native assembler")
     return _assemble_frames_python(plan, pcm, streaminfo, first_frame_number)
 
 
 def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
                             streaminfo: meta.Streaminfo,
-                            first_frame_number: int) -> List[bytes]:
+                            first_frame_number: int,
+                            fallback_options=None) -> List[bytes]:
     B, C, N = pcm.shape
     chans_plans = plan["channels"]
     S = len(chans_plans)
@@ -163,7 +171,27 @@ def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
         return np.ascontiguousarray(
             np.stack([p[key] for p in chans_plans]), dtype=dtype)
 
-    return nat.assemble_batch(
+    kwargs = {}
+    if "packed_words" in plan:
+        # device-packed residual blobs: words -> MSB-first byte stream
+        S_, per_sub_words = (int(plan["packed_meta"][0]),
+                             int(plan["packed_meta"][1]))
+        words = plan["packed_words"].astype(">u4")  # big-endian = bit order
+        blobs = np.ascontiguousarray(words).view(np.uint8)
+        starts = np.empty((S, B), dtype=np.uint64)
+        for s in range(S):
+            starts[s] = (np.arange(B, dtype=np.uint64) * S_ + s) \
+                * per_sub_words * 32
+        kwargs = dict(
+            blobs=blobs,
+            blob_start_bits=np.ascontiguousarray(starts),
+            blob_bits=np.ascontiguousarray(stk("res_bits", np.uint64)),
+        )
+        residuals = np.zeros((1,), dtype=np.int32)
+    else:
+        residuals = stk("residuals", np.int32)
+
+    frames = nat.assemble_batch(
         N=N, bps_base=streaminfo.bits_per_sample,
         sample_rate=streaminfo.sample_rate,
         first_frame_number=first_frame_number,
@@ -178,9 +206,25 @@ def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
         rice_bits=stk("rice_bits", np.uint8),
         kinds=stk("kinds", np.uint8),
         params=stk("params", np.int32),
-        residuals=stk("residuals", np.int32),
+        residuals=residuals,
         channels=np.ascontiguousarray(xs),
+        **kwargs,
     )
+
+    if "packed_words" in plan:
+        # any blob that overflowed its budget: re-encode that frame on host
+        overflow = np.zeros(B, dtype=bool)
+        for p in chans_plans:
+            overflow |= np.asarray(p["res_overflow"])
+        if overflow.any():
+            assert fallback_options is not None, \
+                "packed plans need fallback_options for overflow frames"
+            for b in np.nonzero(overflow)[0]:
+                frames[b] = encode_frame(
+                    fallback_options, streaminfo, first_frame_number + int(b),
+                    [pcm[b, c].astype(np.int64)
+                     for c in range(pcm.shape[1])])
+    return frames
 
 
 def _assemble_frames_python(plan: dict, pcm: np.ndarray,
@@ -239,11 +283,17 @@ class BatchEncoder:
     def __init__(self, fp_or_path, options: Options, sample_rate: int,
                  bits_per_sample: int, channels: int,
                  total_samples: Optional[int] = None,
-                 batch_frames: int = 64, mesh=None, analysis: str = "auto"):
+                 batch_frames: int = 64, mesh=None, analysis: str = "auto",
+                 pack_budget: int = 10):
         # exact int64 residual math needs x64 even in f32-analysis mode
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         self.analysis = analysis
+        # device-side residual packing budget (bits/sample); 0 disables.
+        # Packing needs the native assembler for blob splicing.
+        from .. import native as _native_mod
+
+        self.pack_budget = pack_budget if _native_mod.load() is not None else 0
         if isinstance(fp_or_path, (str, bytes)):
             fp_or_path = open(fp_or_path, "wb+")
             self._owns_fp = True
@@ -286,6 +336,8 @@ class BatchEncoder:
             dev_pcm = np.concatenate(
                 [pcm, np.zeros((self.batch_frames - B, self._chans,
                                 self._block), np.int32)])
+        if self.encoder.streaminfo.bits_per_sample <= 16:
+            dev_pcm = dev_pcm.astype(np.int16)
         if self.mesh is not None:
             dev_pcm = shard_batch(self.mesh, dev_pcm)
         o = self.options
@@ -300,6 +352,7 @@ class BatchEncoder:
             window_kind=o.window if not isinstance(o.window, list)
             else tuple(o.window),
             analysis=self.analysis,
+            pack_budget=self.pack_budget,
         )
         self._pending.append((plan, pcm, chunk))
 
@@ -308,7 +361,8 @@ class BatchEncoder:
         enc = self.encoder
         plan, pcm, chunk = self._pending.pop(0)
         enc.md5.update(samples_to_bytes(chunk, enc.streaminfo.bits_per_sample))
-        frames = assemble_frames(plan, pcm, enc.streaminfo, enc.frame_number)
+        frames = assemble_frames(plan, pcm, enc.streaminfo, enc.frame_number,
+                                 fallback_options=enc.options)
         si = enc.streaminfo
         for data in frames:
             enc.seekpoints.append(EncoderSeekPoint(

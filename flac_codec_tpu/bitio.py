@@ -187,7 +187,7 @@ class BitReader:
     Raises :class:`EndOfStream` past the end.
     """
 
-    __slots__ = ("data", "pos", "_source", "_base", "_eof")
+    __slots__ = ("data", "pos", "_source", "_base", "_eof", "_np_view")
 
     CHUNK = 1 << 16
 
@@ -198,6 +198,7 @@ class BitReader:
         self._source = source
         self._base = 0  # absolute byte offset of data[0] in the source
         self._eof = source is None
+        self._np_view: Optional[np.ndarray] = None
 
     @classmethod
     def from_stream(cls, fp: BinaryIO) -> "BitReader":
@@ -227,8 +228,19 @@ class BitReader:
                 self.data.extend(chunk)
             self._eof = True
 
+    def np_view(self) -> np.ndarray:
+        """Zero-copy uint8 view of the (fully read) buffer; pins it so
+        discard_consumed becomes a no-op while the view is live."""
+        self.fill_to_eof()
+        if self._np_view is None or len(self._np_view) != len(self.data):
+            self._np_view = np.frombuffer(self.data, dtype=np.uint8)
+        return self._np_view
+
     def discard_consumed(self) -> None:
-        """Drop fully consumed bytes (call only at byte alignment points)."""
+        """Drop fully consumed bytes (call only at byte alignment points).
+        No-op while a numpy view pins the buffer."""
+        if self._np_view is not None:
+            return
         nbytes = self.pos // 8
         if nbytes:
             del self.data[:nbytes]

@@ -238,8 +238,7 @@ class Decoder:
                 return None
             return np.concatenate(frames)
 
-        self.r.fill_to_eof()
-        buf = np.frombuffer(self.r.data, dtype=np.uint8)
+        buf = self.r.np_view()
         total = self.total_samples
         remaining = None if total is None else total - self.current_sample
         if remaining is not None and remaining <= 0:

@@ -58,6 +58,13 @@ class Native:
         lib.nat_lpc_residuals.restype = ctypes.c_int32
         lib.nat_lpc_residuals.argtypes = [i64p, ctypes.c_size_t, i32p, ctypes.c_uint32, ctypes.c_uint32, i32p]
         i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.nat_parse_frames_raw.restype = ctypes.c_int64
+        lib.nat_parse_frames_raw.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint64,
+            i32p, u8p, i8p, u8p, i32p, u8p, u32p,
+            ctypes.POINTER(ctypes.c_uint64), u32p]
         lib.nat_decode_frames.restype = ctypes.c_int64
         lib.nat_decode_frames.argtypes = [
             u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32,
@@ -189,6 +196,41 @@ class Native:
             p(out, u8), max_bytes, p(lengths, u32), nthreads, *blob_args)
         assert total >= 0
         return [out[b, :lengths[b]].tobytes() for b in range(B)]
+
+    def parse_frames_raw(self, buf: np.ndarray, start_bitpos: int,
+                         n_frames: int, sample_rate: int, channels: int,
+                         bps: int, block_size: int, remaining_samples):
+        """Parse frames for the device decode pipeline; returns a dict of
+        raw-subframe arrays (buffers pre-predict) + end bitpos + error."""
+        out = np.zeros((n_frames, channels, block_size), dtype=np.int32)
+        order = np.zeros((n_frames, channels), dtype=np.uint8)
+        shift = np.zeros((n_frames, channels), dtype=np.int8)
+        wasted = np.zeros((n_frames, channels), dtype=np.uint8)
+        qcoeffs = np.zeros((n_frames, channels, 32), dtype=np.int32)
+        assignment = np.zeros(n_frames, dtype=np.uint8)
+        blocks = np.zeros(n_frames, dtype=np.uint32)
+        end = ctypes.c_uint64(0)
+        err = np.zeros(1, dtype=np.uint32)
+        rem = (1 << 64) - 1 if remaining_samples is None else remaining_samples
+
+        def p(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        u8, i8, i32, u32 = (ctypes.c_uint8, ctypes.c_int8, ctypes.c_int32,
+                            ctypes.c_uint32)
+        n = self._lib.nat_parse_frames_raw(
+            p(buf, u8), len(buf), start_bitpos, n_frames, sample_rate,
+            channels, bps, block_size, rem,
+            p(out, i32), p(order, u8), p(shift, i8), p(wasted, u8),
+            p(qcoeffs, i32), p(assignment, u8), p(blocks, u32),
+            ctypes.byref(end), p(err, u32))
+        n = int(n)
+        return {
+            "n": n, "buf": out[:n], "order": order[:n], "shift": shift[:n],
+            "wasted": wasted[:n], "qcoeffs": qcoeffs[:n],
+            "assignment": assignment[:n], "blocks": blocks[:n],
+            "end_bitpos": int(end.value), "error": int(err[0]),
+        }
 
     def decode_frames(self, buf: np.ndarray, start_bitpos: int,
                       n_frames: int, sample_rate: int, channels: int,

@@ -598,7 +598,15 @@ enum {
     DEC_SHORT_BLOCK = 9,
 };
 
-static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch) {
+struct RawSubframe {
+    int64_t q[32];
+    uint32_t order = 0;     // predictor taps to run (0 = none)
+    uint32_t shift = 0;
+    uint32_t wasted = 0;
+};
+
+static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
+                           RawSubframe* raw = nullptr) {
     if (!g.fits(8)) return DEC_EOF;
     if (g.get(1) != 0) return DEC_SUBHDR;
     uint32_t code = g.get(6);
@@ -714,16 +722,24 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch) {
             pos += m;
         }
 
-        // predictor
-        for (uint32_t i = order; i < n; i++) {
-            int64_t acc = 0;
-            for (uint32_t j = 0; j < qorder && j < 32; j++)
-                acc += q[j] * ch[i - 1 - j];
-            ch[i] += acc >> shift;
+        if (raw) {
+            raw->order = qorder;
+            raw->shift = shift;
+            for (uint32_t j = 0; j < qorder && j < 32; j++) raw->q[j] = q[j];
+        } else {
+            // predictor
+            for (uint32_t i = order; i < n; i++) {
+                int64_t acc = 0;
+                for (uint32_t j = 0; j < qorder && j < 32; j++)
+                    acc += q[j] * ch[i - 1 - j];
+                ch[i] += acc >> shift;
+            }
         }
     }
 
-    if (wasted) {
+    if (raw) {
+        raw->wasted = wasted;
+    } else if (wasted) {
         for (uint32_t i = 0; i < n; i++) ch[i] <<= wasted;
     }
     return DEC_OK;
@@ -878,6 +894,160 @@ int64_t nat_decode_frames(
         decoded++;
     }
 done:
+    *end_bitpos = g.bitpos;
+    return decoded;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Raw frame parser for the device decode pipeline: validates CRCs and
+// extracts warm-up + residual buffers plus predictor parameters WITHOUT
+// running the recurrence — the device plane (ops/predict.py) evaluates the
+// inverse-LPC scan, wasted-bits shift and stereo decorrelation batched.
+// Fixed block size streams only (equal-shape batching); anything else
+// falls back to nat_decode_frames / the Python decoder.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t nat_parse_frames_raw(
+    const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
+    uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,
+    uint32_t block_size /* expected fixed size; last frame may be short */,
+    uint64_t remaining_samples,
+    int32_t* out_buf,        // (n_frames, channels, block_size)
+    uint8_t* out_order,      // (n_frames, channels)
+    int8_t* out_shift,       // (n_frames, channels)
+    uint8_t* out_wasted,     // (n_frames, channels)
+    int32_t* out_qcoeffs,    // (n_frames, channels, 32)
+    uint8_t* out_assignment, // (n_frames,)
+    uint32_t* out_block,     // (n_frames,)
+    uint64_t* end_bitpos, uint32_t* error) {
+    if (!tables_ready) init_tables();
+    BitGet g{buf, start_bitpos, buf_bytes * 8};
+    static thread_local std::vector<int64_t> chbuf;
+    *error = DEC_OK;
+
+    int64_t decoded = 0;
+    for (uint32_t f = 0; f < n_frames; f++) {
+        g.align();
+        uint64_t frame_start_byte = g.bitpos >> 3;
+        if (remaining_samples != ~0ull && remaining_samples == 0) {
+            *error = DEC_EOF; break;
+        }
+        if (!g.fits(40)) { *error = DEC_EOF; break; }
+        if (g.get(15) != 0b111111111111100) { *error = DEC_SYNC; break; }
+        g.get(1);
+        uint32_t bsc = g.get(4), src = g.get(4), ca = g.get(4), bpc = g.get(3);
+        g.get(1);
+        if (!g.fits(8)) { *error = DEC_EOF; break; }
+        uint32_t b0 = g.get(8);
+        if (b0 >= 0x80) {
+            uint32_t cont = 0, lead = b0;
+            while (lead & 0x80) { cont++; lead <<= 1; }
+            if (cont == 1 || cont > 7) { *error = DEC_HDR; break; }
+            cont -= 1;
+            if (!g.fits(8ull * cont)) { *error = DEC_EOF; break; }
+            bool bad = false;
+            for (uint32_t i = 0; i < cont; i++)
+                if ((g.get(8) >> 6) != 0b10) bad = true;
+            if (bad) { *error = DEC_HDR; break; }
+        }
+        uint32_t fr_block;
+        {
+            static const uint32_t BS[16] = {0, 192, 576, 1152, 2304, 4608, 0, 0,
+                                            256, 512, 1024, 2048, 4096, 8192,
+                                            16384, 32768};
+            if (bsc == 0) { *error = DEC_HDR; break; }
+            else if (bsc == 6) { if (!g.fits(8)) { *error = DEC_EOF; break; } fr_block = g.get(8) + 1; }
+            else if (bsc == 7) { if (!g.fits(16)) { *error = DEC_EOF; break; } fr_block = g.get(16) + 1; }
+            else fr_block = BS[bsc];
+        }
+        uint32_t rate;
+        {
+            static const uint32_t SR[16] = {0, 88200, 176400, 192000, 8000,
+                                            16000, 22050, 24000, 32000, 44100,
+                                            48000, 96000, 0, 0, 0, 0};
+            if (src == 0) rate = sample_rate;
+            else if (src == 12) { if (!g.fits(8)) { *error = DEC_EOF; break; } rate = g.get(8) * 1000; }
+            else if (src == 13) { if (!g.fits(16)) { *error = DEC_EOF; break; } rate = g.get(16); }
+            else if (src == 14) { if (!g.fits(16)) { *error = DEC_EOF; break; } rate = g.get(16) * 10; }
+            else if (src == 15) { *error = DEC_HDR; break; }
+            else rate = SR[src];
+        }
+        uint32_t fbps;
+        {
+            static const uint32_t BP[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+            if (bpc == 0) fbps = bps;
+            else if (bpc == 3) { *error = DEC_HDR; break; }
+            else fbps = BP[bpc];
+        }
+        uint32_t ch_count = ca <= 7 ? ca + 1 : 2;
+        if (ca > 10) { *error = DEC_HDR; break; }
+        {
+            uint64_t crc_byte = g.bitpos >> 3;
+            if (!g.fits(8)) { *error = DEC_EOF; break; }
+            uint32_t expected = g.get(8);
+            if (nat_crc8(buf + frame_start_byte, crc_byte - frame_start_byte,
+                         0) != expected) { *error = DEC_CRC8; break; }
+        }
+        // batched device path needs equal shapes + params matching stream
+        if (rate != sample_rate || ch_count != channels || fbps != bps
+            || fr_block > block_size) { *error = DEC_HDR; break; }
+        if (fr_block != block_size) {
+            // short (last) frame: leave it to the caller's scalar path
+            *error = DEC_SHORT_BLOCK;
+            g.bitpos = frame_start_byte * 8;
+            break;
+        }
+        if (fbps >= 32 && ca >= 8) { *error = DEC_PARAMS; break; }
+        if (remaining_samples != ~0ull
+            && !(fr_block == remaining_samples || fr_block > 14)) {
+            *error = DEC_SHORT_BLOCK; break;
+        }
+
+        if (chbuf.size() < (size_t)ch_count * fr_block)
+            chbuf.resize((size_t)ch_count * fr_block);
+        int rc = DEC_OK;
+        RawSubframe raws[8];
+        for (uint32_t c = 0; c < ch_count && rc == DEC_OK; c++) {
+            uint32_t sub_bps = fbps;
+            if ((ca == 8 && c == 1) || (ca == 9 && c == 0)
+                || (ca == 10 && c == 1))
+                sub_bps += 1;
+            rc = decode_subframe(g, sub_bps, fr_block,
+                                 chbuf.data() + (size_t)c * fr_block,
+                                 &raws[c]);
+        }
+        if (rc != DEC_OK) { *error = (uint32_t)rc; break; }
+        g.align();
+        {
+            uint64_t crc_byte = g.bitpos >> 3;
+            if (!g.fits(16)) { *error = DEC_EOF; break; }
+            uint32_t expected = g.get(16);
+            if (nat_crc16(buf + frame_start_byte, crc_byte - frame_start_byte,
+                          0) != expected) { *error = DEC_CRC16; break; }
+        }
+
+        for (uint32_t c = 0; c < ch_count; c++) {
+            size_t fc = (size_t)f * channels + c;
+            out_order[fc] = (uint8_t)raws[c].order;
+            out_shift[fc] = (int8_t)raws[c].shift;
+            out_wasted[fc] = (uint8_t)raws[c].wasted;
+            for (uint32_t j = 0; j < 32; j++)
+                out_qcoeffs[fc * 32 + j] =
+                    j < raws[c].order ? (int32_t)raws[c].q[j] : 0;
+            int32_t* dst = out_buf + fc * block_size;
+            const int64_t* src_ch = chbuf.data() + (size_t)c * fr_block;
+            for (uint32_t i = 0; i < fr_block; i++)
+                dst[i] = (int32_t)src_ch[i];
+        }
+        out_assignment[f] = (uint8_t)ca;
+        out_block[f] = fr_block;
+        if (remaining_samples != ~0ull) remaining_samples -= fr_block;
+        decoded++;
+    }
     *end_bitpos = g.bitpos;
     return decoded;
 }

@@ -1,0 +1,36 @@
+"""Device decode pipeline (BatchDecoder) parity with the host decoder."""
+
+import io
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from flac_codec_tpu.decode import FlacSampleReader
+from flac_codec_tpu.encode import FlacSampleWriter, Options
+from flac_codec_tpu.parallel.batch_decode import BatchDecoder
+
+
+def test_fixture_parity(ref_data):
+    path = str(ref_data / "sine.flac")
+    host = FlacSampleReader(path).read_all()
+    dev = np.asarray(BatchDecoder(path, batch_frames=16).read_all_device())
+    np.testing.assert_array_equal(dev.reshape(-1), host)
+
+
+@pytest.mark.parametrize("bps,channels", [(16, 2), (24, 2), (16, 1), (8, 4)])
+def test_roundtrip_through_device_decode(bps, channels):
+    rng = np.random.default_rng(bps * channels)
+    bs = 512
+    n = bs * 5 + 77  # ragged tail
+    scale = 1 << (bps - 4)
+    inter = rng.integers(-scale, scale, n * channels).astype(np.int32)
+    buf = io.BytesIO()
+    w = FlacSampleWriter(buf, Options(block_size=bs), 44100, bps, channels,
+                         total_samples=n)
+    w.write(inter)
+    w.finalize()
+    buf.seek(0)
+    dev = np.asarray(BatchDecoder(buf, batch_frames=3).read_all_device())
+    np.testing.assert_array_equal(dev.reshape(-1), inter)

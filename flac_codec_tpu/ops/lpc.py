@@ -166,18 +166,19 @@ def quantize(coeffs: jnp.ndarray, order: jnp.ndarray, precision: int):
 
 
 def residuals(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
-              shift: jnp.ndarray):
+              shift: jnp.ndarray, max_taps: int = MAX_ORDER):
     """Batched integer LPC residuals
     r[n] = x[n] - ((sum_j q_j x[n-1-j]) >> shift), n >= order
     (reference: src/encode.rs:3174-3203).
 
-    x: (B, N) int64; qcoeffs: (B, MAX_ORDER) int32 zero-padded.
+    x: (B, N) int64; qcoeffs: (B, MAX_ORDER) int32 zero-padded; only the
+    first ``max_taps`` taps can be nonzero (the configured max LPC order).
     Returns (res (B, N) int64 valid at positions >= order, overflow (B,)).
     """
     B, N = x.shape
     acc = jnp.zeros((B, N), jnp.int64)
     q64 = qcoeffs.astype(jnp.int64)
-    for j in range(MAX_ORDER):
+    for j in range(min(max_taps, MAX_ORDER)):
         # x[n-1-j] with left zero-pad
         shifted = jnp.pad(x, ((0, 0), (j + 1, 0)))[:, :N]
         acc = acc + q64[:, j:j + 1] * shifted
@@ -210,7 +211,7 @@ def analyze(x: jnp.ndarray, win: jnp.ndarray, max_order: int,
     coeffs = jnp.take_along_axis(
         all_coeffs, (order[:, None, None] - 1).astype(jnp.int32), axis=1)[:, 0]
     shift, qcoeffs, quant_valid = quantize(coeffs, order, precision)
-    res, overflow = residuals(x, qcoeffs, order, shift)
+    res, overflow = residuals(x, qcoeffs, order, shift, max_taps=max_order)
     # all-zero quantized coefficients are also rejected by the reference's
     # bitstream layer only at write time; the ZeroLpCoefficients check
     # happens pre-quantization via l > 0 (covered by quant_valid)

@@ -186,25 +186,25 @@ def _pack_plan_channels(plan: dict, block_size: int, budget_bits: int):
             ch["rice_bits"].astype(jnp.int32), block_size, out_words,
             base_word, budget_bits * block_size)
         words = words + w
-        ch["res_bits"] = bits
-        ch["res_overflow"] = bits > budget_bits * block_size
+        # only FIXED/LPC subframes have a residual section; constant and
+        # verbatim slots carry garbage residual arrays whose pseudo bit
+        # length must not trigger the host overflow fallback
+        is_pred = (ch["sub_type"] == TYPE_FIXED) | (ch["sub_type"] == TYPE_LPC)
+        ch["res_bits"] = jnp.where(is_pred, bits, 0).astype(bits.dtype)
+        ch["res_overflow"] = is_pred & (bits > budget_bits * block_size)
         del ch["residuals"]
     plan["packed_words"] = words
     plan["packed_meta"] = jnp.array([S, per_sub_words], jnp.int32)
     return plan
 
 
-@partial(jax.jit, static_argnames=("bits_per_sample", "block_size",
-                                   "max_lpc_order", "max_partition_order",
-                                   "mid_side", "exhaustive", "window_kind",
-                                   "analysis", "pack_budget"))
-def encode_frames_plan(pcm: jnp.ndarray, *, bits_per_sample: int,
-                       block_size: int, max_lpc_order,
-                       max_partition_order: int, mid_side: bool = True,
-                       exhaustive: bool = True,
-                       window_kind=("tukey", 0.5),
-                       analysis: str = "auto",
-                       pack_budget: int = 0):
+def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
+                             block_size: int, max_lpc_order,
+                             max_partition_order: int, mid_side: bool = True,
+                             exhaustive: bool = True,
+                             window_kind=("tukey", 0.5),
+                             analysis: str = "auto",
+                             pack_budget: int = 0):
     """Plan encoding for a batch of frames.
 
     pcm: (B, C, N) int32.  ``analysis`` chooses the float dtype for LPC
@@ -281,3 +281,78 @@ def encode_frames_plan(pcm: jnp.ndarray, *, bits_per_sample: int,
     if pack_budget:
         plan = _pack_plan_channels(plan, block_size, pack_budget)
     return plan
+
+
+encode_frames_plan = partial(jax.jit, static_argnames=(
+    "bits_per_sample", "block_size", "max_lpc_order", "max_partition_order",
+    "mid_side", "exhaustive", "window_kind", "analysis", "pack_budget",
+))(_encode_frames_plan_impl)
+
+
+# ---------------------------------------------------------------------------
+# Single-blob plan transfer.  A plan dict has ~25 leaves; fetching each is a
+# separate device->host DMA (a full RPC round trip on tunneled hosts).  The
+# blob form serializes every leaf into ONE uint8 array on device so the
+# whole plan comes back in a single transfer, and supports
+# ``copy_to_host_async`` for download/compute overlap.
+# ---------------------------------------------------------------------------
+
+def _leaf_to_bytes(leaf: jnp.ndarray) -> jnp.ndarray:
+    a = leaf.reshape(-1)
+    if a.dtype == jnp.bool_:
+        a = a.astype(jnp.uint8)
+    if a.dtype.itemsize == 1:
+        return a.view(jnp.uint8) if a.dtype != jnp.uint8 else a
+    return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=(
+    "bits_per_sample", "block_size", "max_lpc_order", "max_partition_order",
+    "mid_side", "exhaustive", "window_kind", "analysis", "pack_budget",
+))
+def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
+                            block_size: int, max_lpc_order,
+                            max_partition_order: int, mid_side: bool = True,
+                            exhaustive: bool = True,
+                            window_kind=("tukey", 0.5),
+                            analysis: str = "auto",
+                            pack_budget: int = 0) -> jnp.ndarray:
+    """Like :func:`encode_frames_plan` but returns one flat uint8 array
+    holding every plan leaf (tree_flatten order).  Decode with
+    :func:`plan_blob_spec` + :func:`unpack_plan_blob`."""
+    plan = _encode_frames_plan_impl(
+        pcm, bits_per_sample=bits_per_sample, block_size=block_size,
+        max_lpc_order=max_lpc_order, max_partition_order=max_partition_order,
+        mid_side=mid_side, exhaustive=exhaustive, window_kind=window_kind,
+        analysis=analysis, pack_budget=pack_budget)
+    leaves = jax.tree_util.tree_leaves(plan)
+    return jnp.concatenate([_leaf_to_bytes(l) for l in leaves])
+
+
+def plan_blob_spec(batch_shape, dtype, **kw):
+    """Host-side (shape, dtype, treedef) description of a plan blob for a
+    given input aval — computed without running anything."""
+    shaped = jax.eval_shape(
+        partial(_encode_frames_plan_impl, **kw),
+        jax.ShapeDtypeStruct(batch_shape, dtype))
+    leaves, treedef = jax.tree_util.tree_flatten(shaped)
+    return [(l.shape, l.dtype) for l in leaves], treedef
+
+
+def unpack_plan_blob(blob, spec):
+    """Reassemble the plan dict from a downloaded blob (host, zero-copy)."""
+    import numpy as np
+
+    shapes, treedef = spec
+    blob = np.asarray(blob)
+    out, off = [], 0
+    for shape, dtype in shapes:
+        npdt = np.dtype(dtype.name if dtype.name != "bool" else "uint8")
+        count = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(blob, npdt, count, off).reshape(shape)
+        if dtype.name == "bool":
+            arr = arr.astype(bool)
+        out.append(arr)
+        off += count * npdt.itemsize
+    assert off == blob.nbytes, (off, blob.nbytes)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -39,6 +39,9 @@ from ..ops.encode_batch import (
     TYPE_LPC,
     TYPE_VERBATIM,
     encode_frames_plan,
+    encode_frames_plan_blob,
+    plan_blob_spec,
+    unpack_plan_blob,
 )
 from .mesh import batch_mesh, shard_batch
 
@@ -284,15 +287,20 @@ class BatchEncoder:
                  bits_per_sample: int, channels: int,
                  total_samples: Optional[int] = None,
                  batch_frames: int = 64, mesh=None, analysis: str = "auto",
-                 pack_budget: int = 10):
+                 pack_budget: Optional[int] = None):
         # exact int64 residual math needs x64 even in f32-analysis mode
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         self.analysis = analysis
         # device-side residual packing budget (bits/sample); 0 disables.
+        # Default bps+2 can never overflow: a FIXED/LPC subframe is only
+        # selected when its total (incl. residual section) beats verbatim
+        # (bps_eff bits/sample), so its residual section is < bps*N bits.
         # Packing needs the native assembler for blob splicing.
         from .. import native as _native_mod
 
+        if pack_budget is None:
+            pack_budget = bits_per_sample + 2
         self.pack_budget = pack_budget if _native_mod.load() is not None else 0
         if isinstance(fp_or_path, (str, bytes)):
             fp_or_path = open(fp_or_path, "wb+")
@@ -307,6 +315,7 @@ class BatchEncoder:
         self._buf = np.empty(0, dtype=np.int32)
         self._block = options.block_size
         self._chans = channels
+        self._specs: dict = {}
         # in-flight (device plan, host pcm, raw chunk) awaiting assembly —
         # lets device planning of batch k+1 overlap host assembly of batch k
         self._pending: List = []
@@ -341,8 +350,7 @@ class BatchEncoder:
         if self.mesh is not None:
             dev_pcm = shard_batch(self.mesh, dev_pcm)
         o = self.options
-        plan = encode_frames_plan(
-            dev_pcm,
+        kw = dict(
             bits_per_sample=self.encoder.streaminfo.bits_per_sample,
             block_size=self._block,
             max_lpc_order=o.max_lpc_order,
@@ -354,12 +362,26 @@ class BatchEncoder:
             analysis=self.analysis,
             pack_budget=self.pack_budget,
         )
-        self._pending.append((plan, pcm, chunk))
+        # single-blob plan: ONE device->host transfer per batch (a plan
+        # dict has ~25 leaves; per-leaf DMAs pay a full RPC round trip
+        # each on tunneled hosts), started async right after dispatch so
+        # download overlaps planning of the next batch
+        key = (dev_pcm.shape, str(dev_pcm.dtype))
+        if key not in self._specs:
+            self._specs[key] = plan_blob_spec(dev_pcm.shape, dev_pcm.dtype,
+                                              **kw)
+        blob = encode_frames_plan_blob(dev_pcm, **kw)
+        try:
+            blob.copy_to_host_async()
+        except AttributeError:  # non-jax array types in tests
+            pass
+        self._pending.append(((blob, self._specs[key]), pcm, chunk))
 
     def _drain_one(self) -> None:
         """Assemble and emit the oldest in-flight batch (in order)."""
         enc = self.encoder
-        plan, pcm, chunk = self._pending.pop(0)
+        (blob, spec), pcm, chunk = self._pending.pop(0)
+        plan = unpack_plan_blob(np.asarray(blob), spec)
         enc.md5.update(samples_to_bytes(chunk, enc.streaminfo.bits_per_sample))
         frames = assemble_frames(plan, pcm, enc.streaminfo, enc.frame_number,
                                  fallback_options=enc.options)

@@ -71,15 +71,19 @@ def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
               mid_side=opts.mid_side,
               exhaustive=opts.exhaustive_channel_correlation,
               analysis=analysis, pack_budget=pack_budget)
-    d = jnp.asarray(pcm)
-    blob = encode_frames_plan_blob(d, **kw)
+    # distinct input buffers cycled through the chain, so no layer can
+    # serve a cached result for a repeated (executable, buffer) pair
+    nvar = 4
+    variants = [jnp.asarray(np.roll(pcm, v + 1, axis=0) + v) for v in
+                range(nvar)]
+    blob = encode_frames_plan_blob(variants[0], **kw)
     jax.block_until_ready(blob)  # compile + warm
     pcm_mb = batch_frames * N * 2 * 2 / 1e6  # bytes of 16-bit PCM
     best = None
     for _ in range(reps):
         t0 = time.time()
-        for _ in range(chain):  # pipelined dispatch amortizes RPC latency
-            blob = encode_frames_plan_blob(d, **kw)
+        for i in range(chain):  # pipelined dispatch amortizes RPC latency
+            blob = encode_frames_plan_blob(variants[i % nvar], **kw)
         jax.block_until_ready(blob)
         dt = (time.time() - t0) / chain
         best = dt if best is None else min(best, dt)

@@ -81,7 +81,8 @@ class Native:
             u8p, u8p, u8p,             # po, rice_bits, kinds
             i32p, i32p, i32p,          # params, residuals, channels
             u8p, ctypes.c_uint32, u32p, ctypes.c_uint32,
-            u8p, u64p, u64p]           # blobs, blob_start_bits, blob_bits
+            u8p, u64p, u64p,           # blobs, blob_start_bits, blob_bits
+            ctypes.c_uint32]           # chan_stride
 
     @staticmethod
     def _u8(buf) -> "ctypes.POINTER(ctypes.c_uint8)":
@@ -158,11 +159,15 @@ class Native:
                        residuals: np.ndarray, channels: np.ndarray,
                        nthreads: int = 0, blobs: np.ndarray = None,
                        blob_start_bits: np.ndarray = None,
-                       blob_bits: np.ndarray = None):
-        """Assemble a whole batch of frames; returns list of per-frame bytes.
+                       blob_bits: np.ndarray = None,
+                       chan_stride: int = None):
+        """Assemble a whole batch of frames; returns list of per-frame bytes
+        (an entry is ``None`` when the native core skipped the frame — a
+        verbatim subframe met warm-up-only channel data).
 
         All plan arrays are (S, B, ...) contiguous; ``channels`` holds the
-        wasted-shifted subframe samples.
+        wasted-shifted subframe samples: (S, B, N), or (S, B, chan_stride)
+        warm-ups only when residual blobs are supplied.
         """
         import os
 
@@ -186,6 +191,8 @@ class Native:
             blob_args = (ctypes.POINTER(ctypes.c_uint8)(),
                          ctypes.POINTER(ctypes.c_uint64)(),
                          ctypes.POINTER(ctypes.c_uint64)())
+        if chan_stride is None:
+            chan_stride = channels.shape[-1]
         total = self._lib.nat_assemble_batch(
             B, N, S, bps_base, sample_rate, first_frame_number,
             p(assignment, u8),
@@ -193,9 +200,11 @@ class Native:
             p(shift, i8), p(qcoeffs, i32),
             p(po, u8), p(rice_bits, u8), p(kinds, u8),
             p(params, i32), p(residuals, i32), p(channels, i32),
-            p(out, u8), max_bytes, p(lengths, u32), nthreads, *blob_args)
+            p(out, u8), max_bytes, p(lengths, u32), nthreads, *blob_args,
+            chan_stride)
         assert total >= 0
-        return [out[b, :lengths[b]].tobytes() for b in range(B)]
+        return [out[b, :lengths[b]].tobytes() if lengths[b] else None
+                for b in range(B)]
 
     def parse_frames_raw(self, buf: np.ndarray, start_bitpos: int,
                          n_frames: int, sample_rate: int, channels: int,

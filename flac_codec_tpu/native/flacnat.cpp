@@ -337,6 +337,25 @@ static void put_frame_number(BitSink& w, uint64_t num) {
 // residual blobs between host-written subframe headers.
 static void copy_bits(uint8_t* dst, uint64_t dstpos,
                       const uint8_t* src, uint64_t srcpos, uint64_t nbits) {
+    // fast path: 32 bits per iteration through unaligned 64-bit windows
+    // (both buffers have >= 8 bytes of slack past their payload)
+    while (nbits >= 32) {
+        uint64_t w;
+        memcpy(&w, src + (srcpos >> 3), 8);
+        w = __builtin_bswap64(w);
+        uint32_t soff = (uint32_t)(srcpos & 7);
+        uint32_t v = (uint32_t)(w >> (32 - soff));
+        uint32_t doff = (uint32_t)(dstpos & 7);
+        uint64_t pattern = ((uint64_t)v) << (32 - doff);
+        uint64_t cur;
+        uint8_t* dp = dst + (dstpos >> 3);
+        memcpy(&cur, dp, 8);
+        cur |= __builtin_bswap64(pattern);
+        memcpy(dp, &cur, 8);
+        srcpos += 32;
+        dstpos += 32;
+        nbits -= 32;
+    }
     // byte-at-a-time: read 8 source bits starting at srcpos, emit at dstpos
     while (nbits >= 8) {
         uint64_t sb = srcpos >> 3;
@@ -382,7 +401,13 @@ int64_t nat_assemble_batch(
     // blob (s, b) occupies bits [blob_start_bits[s*B+b],
     // blob_start_bits[..]+blob_bits[..]).  NULL -> pack from residuals.
     const uint8_t* blobs, const uint64_t* blob_start_bits,
-    const uint64_t* blob_bits) {
+    const uint64_t* blob_bits,
+    // per-subframe sample stride in `channels`: N for full channel data,
+    // or a warm-up-only stride (e.g. 32) when blobs carry the residual
+    // sections.  A verbatim subframe needs all N samples; in warm-up-only
+    // mode its frame is skipped (lengths[b] = 0) for the caller to
+    // assemble through the full host path.
+    uint32_t chan_stride) {
     if (!tables_ready) init_tables();
 
     auto do_frame = [&](uint32_t b) {
@@ -416,7 +441,11 @@ int64_t nat_assemble_batch(
             uint32_t typ = sub_type[sb];
             uint32_t wb = wasted[sb];
             uint32_t eff = bps - wb;
-            const int32_t* xs = channels + ((uint64_t)s * B + b) * N;
+            if (typ == 1 && chan_stride < N) {  // verbatim needs all samples
+                lengths[b] = 0;
+                return;
+            }
+            const int32_t* xs = channels + ((uint64_t)s * B + b) * chan_stride;
 
             // subframe header
             w.put(0, 1);

@@ -139,8 +139,16 @@ def _analyze_channel(x: jnp.ndarray, bps: int, win: jnp.ndarray,
     else:
         rice_bits = jnp.full(B, 4, jnp.int32)
 
+    # warm-up samples (wasted-shifted) so packed-plan assembly needs no
+    # channel data on host (verbatim subframes excepted)
+    w_n = min(N, 32)
+    warmup = xs[:, :w_n].astype(jnp.int32)
+    if w_n < 32:
+        warmup = jnp.pad(warmup, ((0, 0), (0, 32 - w_n)))
+
     return {
         "sub_type": sub_type.astype(jnp.uint8),
+        "warmup": warmup,
         "wasted": wasted.astype(jnp.uint8),
         "order": order.astype(jnp.uint8),
         "shift": lp["shift"].astype(jnp.int8),

@@ -160,15 +160,28 @@ def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
     wasted = np.ascontiguousarray(
         np.stack([p["wasted"] for p in chans_plans]), dtype=np.uint8)
 
-    if C == 2 and S == 2:
+    packed = "packed_words" in plan
+    if packed and all("warmup" in p for p in chans_plans):
+        # residual sections ride in device-packed blobs, so the host only
+        # needs the warm-up samples (already in the plan) — skip the
+        # O(B*N) candidate-channel materialization entirely
+        xs = np.ascontiguousarray(
+            np.stack([p["warmup"] for p in chans_plans]), dtype=np.int32)
+        chan_stride = xs.shape[-1]
+    elif C == 2 and S == 2:
         cands = _candidate_channels(pcm)  # (B, 4, N) int64
         srcs = np.array(
             [[_SRC.get(int(a), (0, 1))[s] for a in assignment]
              for s in range(2)])  # (2, B)
         chans = cands[np.arange(B)[None, :], srcs]  # (2, B, N) int64
+        xs = (chans >> wasted[:, :, None].astype(np.int64)).astype(np.int32)
+        xs = np.ascontiguousarray(xs)
+        chan_stride = N
     else:
         chans = pcm.transpose(1, 0, 2).astype(np.int64)
-    xs = (chans >> wasted[:, :, None].astype(np.int64)).astype(np.int32)
+        xs = (chans >> wasted[:, :, None].astype(np.int64)).astype(np.int32)
+        xs = np.ascontiguousarray(xs)
+        chan_stride = N
 
     def stk(key, dtype):
         return np.ascontiguousarray(
@@ -210,19 +223,23 @@ def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
         kinds=stk("kinds", np.uint8),
         params=stk("params", np.int32),
         residuals=residuals,
-        channels=np.ascontiguousarray(xs),
+        channels=xs,
+        chan_stride=chan_stride,
         **kwargs,
     )
 
     if "packed_words" in plan:
-        # any blob that overflowed its budget: re-encode that frame on host
-        overflow = np.zeros(B, dtype=bool)
+        # frames the native core could not finish from the packed plan:
+        # blob overflowed its budget (impossible at the default bps+2
+        # budget), or a verbatim subframe met warm-up-only channel data.
+        # Re-encode those on host — bit-identical by the parity invariant.
+        redo = np.array([f is None for f in frames], dtype=bool)
         for p in chans_plans:
-            overflow |= np.asarray(p["res_overflow"])
-        if overflow.any():
+            redo |= np.asarray(p["res_overflow"])
+        if redo.any():
             assert fallback_options is not None, \
-                "packed plans need fallback_options for overflow frames"
-            for b in np.nonzero(overflow)[0]:
+                "packed plans need fallback_options for fallback frames"
+            for b in np.nonzero(redo)[0]:
                 frames[b] = encode_frame(
                     fallback_options, streaminfo, first_frame_number + int(b),
                     [pcm[b, c].astype(np.int64)

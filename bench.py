@@ -114,6 +114,59 @@ def end_to_end_mbps(opts: Options, batch_frames: int, analysis: str,
     return pcm_mb / dt
 
 
+def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
+    """Native host full-decode rate (per core) on a stream produced by the
+    batch encoder, plus the device predict-step rate for the same shapes."""
+    import jax.numpy as jnp
+
+    from flac_codec_tpu import native
+    from flac_codec_tpu.decode import Decoder
+    from flac_codec_tpu.ops.predict import predict_batch
+
+    nat = native.load()
+    if nat is None:
+        return None, None
+    n = int(44100 * seconds)
+    n -= n % opts.block_size
+    inter = make_audio(n, seed=3)
+    buf = io.BytesIO()
+    enc = BatchEncoder(buf, opts, 44100, 16, 2, total_samples=n,
+                       batch_frames=256, analysis="f32")  # same executable
+    enc.write(inter)                                      # as the e2e run
+    enc.finalize()
+    pcm_mb = n * 4 / 1e6
+    d = Decoder(io.BytesIO(buf.getvalue()))
+    view, start = d.r.np_view(), d.r.pos
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        out, sizes, end, err = nat.decode_frames(
+            view, start, 10 ** 6, 44100, 2, 16, opts.block_size, n)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    host_rate = pcm_mb / best
+
+    # device inverse-LPC step on resident data (decode-to-device path)
+    B, N = 512, opts.block_size
+    rng = np.random.default_rng(0)
+    args = (jnp.asarray(rng.integers(-2000, 2000, (B, N)).astype(np.int64)),
+            jnp.asarray(np.pad(rng.integers(-5000, 5000, (B, 12)), ((0, 0), (0, 20))).astype(np.int64)),
+            jnp.asarray(np.full(B, 12, np.int32)),
+            jnp.asarray(np.full(B, 12, np.int32)))
+    out = predict_batch(*args, N)
+    jax.block_until_ready(out)
+    mb = B * N * 2 / 1e6
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(8):
+            out = predict_batch(*args, N)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / 8
+        best = dt if best is None else min(best, dt)
+    return host_rate, mb / best
+
+
 def main() -> None:
     opts = Options.best().no_seektable()  # preset -8: block 4096 / lpc 12 / po 6
     batch_frames = int(os.environ.get("FLAC_TPU_BENCH_BATCH", "256"))
@@ -133,6 +186,13 @@ def main() -> None:
         except Exception:
             e2e = None
 
+    dec_host = dec_dev = None
+    if os.environ.get("FLAC_TPU_BENCH_DECODE", "1") != "0":
+        try:
+            dec_host, dec_dev = decode_mbps(opts)
+        except Exception:
+            pass
+
     out = {
         "metric": "pcm_encode_mbps_preset8",
         "value": round(mbps, 1),
@@ -146,6 +206,10 @@ def main() -> None:
     }
     if e2e is not None:
         out["end_to_end_mbps"] = round(e2e, 1)
+    if dec_host is not None:
+        out["decode_host_mbps_per_core"] = round(dec_host, 1)
+    if dec_dev is not None:
+        out["decode_device_step_mbps"] = round(dec_dev, 1)
     print(json.dumps(out))
 
 

@@ -383,6 +383,9 @@ class FlacSampleReader:
             return np.empty(0, dtype=np.int32)
         return np.concatenate(out)
 
+    # reference name (src/decode.rs read_to_end): alias of read_all
+    read_to_end = read_all
+
     def seek(self, sample: int) -> None:
         """Position so the next read returns interleaved samples starting at
         channel-independent sample ``sample``."""

@@ -191,3 +191,54 @@ def test_batch_pipeline_sharded_mesh():
     be2.write(inter)
     be2.finalize()
     assert b1.getvalue() == b2.getvalue()
+
+
+def test_plan_blob_roundtrip_matches_dict_plan():
+    """encode_frames_plan_blob + unpack must reproduce the dict plan."""
+    from flac_codec_tpu.ops.encode_batch import (
+        encode_frames_plan, encode_frames_plan_blob, plan_blob_spec,
+        unpack_plan_blob)
+
+    rng = np.random.default_rng(9)
+    B, N = 3, 512
+    t = np.arange(B * N).reshape(B, 1, N)
+    pcm = np.concatenate([
+        4000 * np.sin(t * 0.01) + rng.integers(-50, 50, (B, 1, N)),
+        3000 * np.sin(t * 0.02) + rng.integers(-50, 50, (B, 1, N))],
+        axis=1).astype(np.int32)
+    kw = dict(bits_per_sample=16, block_size=N, max_lpc_order=8,
+              max_partition_order=4, mid_side=True, exhaustive=True,
+              analysis="f64", pack_budget=18)
+    plan = jax.tree_util.tree_map(np.asarray, encode_frames_plan(
+        jnp.asarray(pcm), **kw))
+    blob = np.asarray(encode_frames_plan_blob(jnp.asarray(pcm), **kw))
+    spec = plan_blob_spec(pcm.shape, pcm.dtype, **kw)
+    plan2 = unpack_plan_blob(blob, spec)
+    flat1, td1 = jax.tree_util.tree_flatten(plan)
+    flat2, td2 = jax.tree_util.tree_flatten(plan2)
+    assert td1 == td2
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_pipeline_verbatim_fallback():
+    """Full-range noise forces verbatim subframes; the packed pipeline's
+    warm-up-only native mode must fall back per frame and stay
+    bit-identical to the sequential encoder."""
+    rng = np.random.default_rng(17)
+    bs = 512
+    n = bs * 5
+    # incompressible full-scale noise -> verbatim wins in most frames
+    inter = rng.integers(-32768, 32767, 2 * n).astype(np.int32)
+    opts = Options(block_size=bs)
+    b1 = io.BytesIO()
+    w = FlacSampleWriter(b1, opts, 44100, 16, 2, total_samples=n)
+    w.write(inter)
+    w.finalize()
+    b2 = io.BytesIO()
+    be = BatchEncoder(b2, opts, 44100, 16, 2, total_samples=n,
+                      batch_frames=5, analysis="f64")
+    assert be.pack_budget == 18  # native present; bps+2 default
+    be.write(inter)
+    be.finalize()
+    assert b1.getvalue() == b2.getvalue()

@@ -17,18 +17,24 @@ from ..decode import FlacSampleReader
 from ..utils.wav import pcm_to_wave_bytes, write_wave
 
 
-def convert_one(path: str, out_path: str) -> str:
-    r = FlacSampleReader(path)
-    si = r.streaminfo
-    mask = None
-    vc = r.metadata().get(meta.VorbisComment)
+def _channel_mask(blocks) -> int:
+    vc = blocks.get(meta.VorbisComment)
     if vc is not None:
         raw = vc.get(meta.fields.WAVEFORMATEXTENSIBLE_CHANNEL_MASK)
         if raw:
             try:
-                mask = int(raw, 16)
+                return int(raw, 16)
             except ValueError:
-                mask = None
+                pass
+    return None
+
+
+def convert_one(path: str, out_path: str, tpu: bool = False) -> str:
+    if tpu:
+        return convert_one_tpu(path, out_path)
+    r = FlacSampleReader(path)
+    si = r.streaminfo
+    mask = _channel_mask(r.metadata())
     with open(out_path, "wb") as fout:
         write_wave(fout, si.sample_rate, si.channels, si.bits_per_sample,
                    si.total_samples or 0, mask)
@@ -42,12 +48,39 @@ def convert_one(path: str, out_path: str) -> str:
     return out_path
 
 
+def convert_one_tpu(path: str, out_path: str) -> str:
+    """Decode through the batched device pipeline (frames reconstructed on
+    the accelerator, PCM downloaded per batch)."""
+    import numpy as np
+
+    from ..parallel.batch_decode import BatchDecoder
+
+    dec = BatchDecoder(path)
+    si = dec.streaminfo
+    mask = _channel_mask(dec.decoder.blocks)
+    with open(out_path, "wb") as fout:
+        write_wave(fout, si.sample_rate, si.channels, si.bits_per_sample,
+                   si.total_samples or 0, mask)
+        while True:
+            got = dec.read_batch_device()
+            if got is None:
+                break
+            pcm, blocks = got
+            flat = np.asarray(pcm).swapaxes(1, 2).reshape(-1, pcm.shape[1])
+            keep = int(np.asarray(blocks).sum())
+            inter = flat[:keep].reshape(-1)
+            fout.write(pcm_to_wave_bytes(inter, si.bits_per_sample))
+    return out_path
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="flac2wav")
     p.add_argument("inputs", nargs="+")
     p.add_argument("-o", "--output", default=None,
                    help="output file (single input) or directory")
     p.add_argument("-j", "--jobs", type=int, default=os.cpu_count())
+    p.add_argument("--tpu", action="store_true",
+                   help="decode via the batched device pipeline")
     args = p.parse_args(argv)
 
     jobs = []
@@ -59,8 +92,9 @@ def main(argv=None) -> int:
             out = os.path.join(args.output or os.path.dirname(path) or ".", base)
         jobs.append((path, out))
 
-    if len(jobs) == 1:
-        convert_one(*jobs[0])
+    if len(jobs) == 1 or args.tpu:  # one device: decode serially on it
+        for p_, o_ in jobs:
+            print(convert_one(p_, o_, tpu=args.tpu))
     else:
         with concurrent.futures.ProcessPoolExecutor(args.jobs) as ex:
             futures = [ex.submit(convert_one, p_, o_) for p_, o_ in jobs]

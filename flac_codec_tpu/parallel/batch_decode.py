@@ -60,6 +60,10 @@ class BatchDecoder:
     """Decode a fixed-block-size FLAC stream in frame batches on device."""
 
     def __init__(self, fp_or_path, batch_frames: int = 256):
+        # exact int64 accumulators in the inverse-LPC recurrence; without
+        # x64 JAX silently truncates to int32 (wrong decodes above 16-bit)
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
         if isinstance(fp_or_path, (str, bytes)):
             fp_or_path = open(fp_or_path, "rb")
         self.decoder = Decoder(fp_or_path)

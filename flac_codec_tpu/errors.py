@@ -230,3 +230,116 @@ class TotalSamplesMismatch(FlacError):
 class ExcessiveWastedBits(FlacError):
     """Wasted bits >= subframe bits-per-sample (reference: decode.rs
     ExcessiveWastedBits)."""
+
+
+# ---------------------------------------------------------------------------
+# Precise reference variant names (reference: src/lib.rs:59-311) layered on
+# the broader classes above, so callers can match either granularity.
+# ---------------------------------------------------------------------------
+
+class AccumulatorOverflow(FlacError):
+    """Predictor accumulator overflow (reference AccumulatorOverflow)."""
+
+
+class ChannelCountMismatch(ChannelsMismatch):
+    """Written channel count differs from the stream's channel count."""
+
+
+class ChannelLengthMismatch(ChannelsMismatch):
+    """Per-channel buffers have differing lengths."""
+
+
+class ExcessiveBlockSize(InvalidBlockSize):
+    """Block size exceeds the format maximum (65535)."""
+
+
+class ExcessiveBps(FlacError):
+    """Bits-per-sample exceeds the format maximum (32)."""
+
+
+class ExcessiveChannels(InvalidChannels):
+    """More than 8 channels."""
+
+
+class ExcessivePictureSize(InvalidPicture):
+    """PICTURE block field exceeds its 32-bit size limit."""
+
+
+class ExcessiveStringLength(InvalidVorbisComment):
+    """Vorbis comment string exceeds its 32-bit length prefix."""
+
+
+class ExcessiveVorbisEntries(InvalidVorbisComment):
+    """More Vorbis comment entries than the 32-bit count field allows."""
+
+
+class InsufficientApplicationBlock(InvalidMetadata):
+    """APPLICATION block shorter than its 4-byte id."""
+
+
+class InvalidMetadataBlock(InvalidMetadata):
+    """Invalid metadata block type 127 (reference: mod.rs:305-317)."""
+
+
+class InvalidMetadataBlockSize(InvalidMetadata):
+    """Metadata block size exceeds / disagrees with its 24-bit header."""
+
+
+class ReservedMetadataBlock(InvalidMetadata):
+    """Reserved metadata block type 7-126."""
+
+
+class InvalidPictureType(InvalidPicture):
+    """PICTURE type code outside the 21 defined types."""
+
+
+class InvalidSeekTablePoint(InvalidSeekTable):
+    """SEEKTABLE points not in ascending sample-offset order."""
+
+
+class InvalidSeekTableSize(InvalidSeekTable):
+    """SEEKTABLE size not a multiple of 18 bytes."""
+
+
+class InvalidSubframeHeaderType(InvalidSubframeHeader):
+    """Subframe type code is reserved."""
+
+
+class InvalidTotalBytes(FlacError):
+    """Declared byte total disagrees with the written amount."""
+
+
+class InvalidTotalSamples(ExcessiveTotalSamples):
+    """Declared total samples outside the 36-bit field."""
+
+
+class MissingResiduals(FlacError):
+    """Predicted subframe shorter than its predictor order."""
+
+
+class MultiplePngIcon(DuplicateIcon):
+    """More than one 32x32 PNG icon PICTURE block."""
+
+
+class MultipleGeneralIcon(DuplicateIcon):
+    """More than one general file-icon PICTURE block."""
+
+
+class NoSamples(FlacError):
+    """Encoder asked to finalize a stream with no samples."""
+
+
+class NonSubsetSampleRate(InvalidSampleRate):
+    """Sample rate not representable in a subset stream header."""
+
+
+class NonSubsetBitsPerSample(InvalidBitsPerSample):
+    """Bits-per-sample not representable in a subset stream header."""
+
+
+class SampleCountMismatch(FlacError):
+    """Written sample count differs from the declared total."""
+
+
+class TooManySamples(ExcessiveTotalSamples):
+    """More than 2**36 total samples written."""

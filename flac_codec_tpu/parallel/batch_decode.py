@@ -59,7 +59,7 @@ def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
 class BatchDecoder:
     """Decode a fixed-block-size FLAC stream in frame batches on device."""
 
-    def __init__(self, fp_or_path, batch_frames: int = 256):
+    def __init__(self, fp_or_path, batch_frames: int = 256, mesh=None):
         # exact int64 accumulators in the inverse-LPC recurrence; without
         # x64 JAX silently truncates to int32 (wrong decodes above 16-bit)
         if not jax.config.jax_enable_x64:
@@ -68,6 +68,9 @@ class BatchDecoder:
             fp_or_path = open(fp_or_path, "rb")
         self.decoder = Decoder(fp_or_path)
         self.batch_frames = batch_frames
+        # optional jax.sharding.Mesh: frame batches are data-parallel over
+        # the mesh's batch axis (decode mirrors encode's sharding story)
+        self.mesh = mesh
         si = self.decoder.streaminfo
         self.block_size = si.maximum_block_size
         self._native_ok = (si.minimum_block_size == si.maximum_block_size
@@ -111,11 +114,15 @@ class BatchDecoder:
         dec.r.pos = raw["end_bitpos"]
         dec.current_sample += int(raw["blocks"].sum())
 
-        pcm = _device_reconstruct(
-            jnp.asarray(raw["buf"]), jnp.asarray(raw["qcoeffs"]),
-            jnp.asarray(raw["shift"]), jnp.asarray(raw["order"]),
-            jnp.asarray(raw["wasted"]), jnp.asarray(raw["assignment"]),
-            self.block_size)
+        args = [raw["buf"], raw["qcoeffs"], raw["shift"], raw["order"],
+                raw["wasted"], raw["assignment"]]
+        if self.mesh is not None and raw["n"] % self.mesh.size == 0:
+            from .mesh import shard_batch
+
+            args = [shard_batch(self.mesh, a) for a in args]
+        else:
+            args = [jnp.asarray(a) for a in args]
+        pcm = _device_reconstruct(*args, self.block_size)
         return pcm, raw["blocks"]
 
     def read_all_device(self):

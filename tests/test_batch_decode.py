@@ -34,3 +34,23 @@ def test_roundtrip_through_device_decode(bps, channels):
     buf.seek(0)
     dev = np.asarray(BatchDecoder(buf, batch_frames=3).read_all_device())
     np.testing.assert_array_equal(dev.reshape(-1), inter)
+
+
+def test_device_decode_sharded_mesh():
+    """Same samples when the decode batch is sharded over the CPU mesh."""
+    from flac_codec_tpu.parallel.mesh import batch_mesh
+
+    rng = np.random.default_rng(33)
+    bs = 512
+    n = bs * 16
+    inter = rng.integers(-3000, 3000, 2 * n).astype(np.int32)
+    buf = io.BytesIO()
+    w = FlacSampleWriter(buf, Options(block_size=bs), 44100, 16, 2,
+                         total_samples=n)
+    w.write(inter)
+    w.finalize()
+    buf.seek(0)
+    mesh = batch_mesh(jax.devices("cpu"))
+    dev = np.asarray(BatchDecoder(buf, batch_frames=16,
+                                  mesh=mesh).read_all_device())
+    np.testing.assert_array_equal(dev.reshape(-1), inter)

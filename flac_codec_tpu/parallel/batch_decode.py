@@ -80,6 +80,12 @@ class BatchDecoder:
     def streaminfo(self) -> meta.Streaminfo:
         return self.decoder.streaminfo
 
+    def seek(self, sample: int) -> int:
+        """Position at the nearest decodable frame boundary <= ``sample``
+        (via SEEKTABLE when present); returns the sample actually seeked
+        to — the caller discards ``sample - actual`` leading samples."""
+        return self.decoder.seek(sample)
+
     def read_batch_device(self):
         """Decode up to batch_frames frames; returns a device array
         (B, channels, block_size) int32 (and the per-frame sample counts),

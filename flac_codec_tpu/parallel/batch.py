@@ -388,10 +388,12 @@ class BatchEncoder:
             self._specs[key] = plan_blob_spec(dev_pcm.shape, dev_pcm.dtype,
                                               **kw)
         blob = encode_frames_plan_blob(dev_pcm, **kw)
-        try:
-            blob.copy_to_host_async()
-        except AttributeError:  # non-jax array types in tests
-            pass
+        import os
+        if not os.environ.get("FLAC_TPU_NO_ASYNC_COPY"):
+            try:
+                blob.copy_to_host_async()
+            except AttributeError:  # non-jax array types in tests
+                pass
         self._pending.append(((blob, self._specs[key]), pcm, chunk))
 
     def _drain_one(self) -> None:

@@ -242,3 +242,35 @@ def test_batch_pipeline_verbatim_fallback():
     be.write(inter)
     be.finalize()
     assert b1.getvalue() == b2.getvalue()
+
+
+def test_batch_pipeline_signal_classes():
+    """Adversarial signal classes through the packed batch pipeline:
+    silence (constant subframes), wasted bits, impulse trains (escape
+    partitions), full-scale squares, tiny amplitudes — all must stay
+    bit-identical to the sequential encoder."""
+    rng = np.random.default_rng(23)
+    bs = 512
+    n = bs * 4
+    t = np.arange(n)
+    signals = {
+        "silence": np.zeros(n, np.int32),
+        "dc": np.full(n, -123, np.int32),
+        "wasted4": (rng.integers(-800, 800, n).astype(np.int32) << 4),
+        "impulses": np.where(t % 97 == 0, 20000, 0).astype(np.int32),
+        "square": np.where((t // 64) % 2 == 0, 32767, -32768).astype(np.int32),
+        "tiny": rng.integers(-2, 2, n).astype(np.int32),
+    }
+    opts = Options(block_size=bs)
+    for name, sig in signals.items():
+        inter = np.stack([sig, np.roll(sig, 13)]).T.reshape(-1)
+        b1 = io.BytesIO()
+        w = FlacSampleWriter(b1, opts, 44100, 16, 2, total_samples=n)
+        w.write(inter)
+        w.finalize()
+        b2 = io.BytesIO()
+        be = BatchEncoder(b2, opts, 44100, 16, 2, total_samples=n,
+                          batch_frames=4, analysis="f64")
+        be.write(inter)
+        be.finalize()
+        assert b1.getvalue() == b2.getvalue(), f"mismatch for {name}"

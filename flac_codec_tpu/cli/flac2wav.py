@@ -17,13 +17,16 @@ from ..decode import FlacSampleReader
 from ..utils.wav import pcm_to_wave_bytes, write_wave
 
 
-def _channel_mask(blocks) -> int:
+def _channel_mask(blocks):
+    """Validated WAVEFORMATEXTENSIBLE channel mask from the tags, or None."""
     vc = blocks.get(meta.VorbisComment)
     if vc is not None:
         raw = vc.get(meta.fields.WAVEFORMATEXTENSIBLE_CHANNEL_MASK)
         if raw:
             try:
-                return int(raw, 16)
+                mask = int(raw, 16)
+                if 0 <= mask < (1 << 18):  # defined WAVEFORMATEXTENSIBLE bits
+                    return mask
             except ValueError:
                 pass
     return None
@@ -55,21 +58,17 @@ def convert_one_tpu(path: str, out_path: str) -> str:
 
     from ..parallel.batch_decode import BatchDecoder
 
-    dec = BatchDecoder(path)
-    si = dec.streaminfo
-    mask = _channel_mask(dec.decoder.blocks)
-    with open(out_path, "wb") as fout:
+    with BatchDecoder(path) as dec, open(out_path, "wb") as fout:
+        si = dec.streaminfo
+        mask = _channel_mask(dec.decoder.blocks)
         write_wave(fout, si.sample_rate, si.channels, si.bits_per_sample,
                    si.total_samples or 0, mask)
         while True:
-            got = dec.read_batch_device()
-            if got is None:
+            flat = dec.read_batch_interleaved()
+            if flat is None:
                 break
-            pcm, blocks = got
-            flat = np.asarray(pcm).swapaxes(1, 2).reshape(-1, pcm.shape[1])
-            keep = int(np.asarray(blocks).sum())
-            inter = flat[:keep].reshape(-1)
-            fout.write(pcm_to_wave_bytes(inter, si.bits_per_sample))
+            fout.write(pcm_to_wave_bytes(np.asarray(flat).reshape(-1),
+                                         si.bits_per_sample))
     return out_path
 
 

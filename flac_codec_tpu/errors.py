@@ -253,7 +253,7 @@ class ExcessiveBlockSize(InvalidBlockSize):
     """Block size exceeds the format maximum (65535)."""
 
 
-class ExcessiveBps(FlacError):
+class ExcessiveBps(InvalidBitsPerSample):
     """Bits-per-sample exceeds the format maximum (32)."""
 
 

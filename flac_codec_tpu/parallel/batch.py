@@ -14,6 +14,7 @@ the biggest untapped parallelism axis".
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import BinaryIO, List, Optional
 
 import numpy as np
@@ -333,6 +334,8 @@ class BatchEncoder:
         self._block = options.block_size
         self._chans = channels
         self._specs: dict = {}
+        self._async_copy = os.environ.get(
+            "FLAC_TPU_NO_ASYNC_COPY", "").lower() not in ("1", "true", "yes")
         # in-flight (device plan, host pcm, raw chunk) awaiting assembly —
         # lets device planning of batch k+1 overlap host assembly of batch k
         self._pending: List = []
@@ -388,8 +391,7 @@ class BatchEncoder:
             self._specs[key] = plan_blob_spec(dev_pcm.shape, dev_pcm.dtype,
                                               **kw)
         blob = encode_frames_plan_blob(dev_pcm, **kw)
-        import os
-        if not os.environ.get("FLAC_TPU_NO_ASYNC_COPY"):
+        if self._async_copy:
             try:
                 blob.copy_to_host_async()
             except AttributeError:  # non-jax array types in tests

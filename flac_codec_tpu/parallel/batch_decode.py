@@ -61,10 +61,19 @@ class BatchDecoder:
 
     def __init__(self, fp_or_path, batch_frames: int = 256, mesh=None):
         # exact int64 accumulators in the inverse-LPC recurrence; without
-        # x64 JAX silently truncates to int32 (wrong decodes above 16-bit)
+        # x64 JAX silently truncates to int32 (wrong decodes above 16-bit).
+        # This flips a process-global flag; warn so callers running f32
+        # model code in the same process know their promotion semantics
+        # changed (pass jax_enable_x64 yourself to silence this).
         if not jax.config.jax_enable_x64:
+            import warnings
+
+            warnings.warn(
+                "BatchDecoder enabled jax_enable_x64 process-wide (required "
+                "for exact int64 decode math)", stacklevel=2)
             jax.config.update("jax_enable_x64", True)
-        if isinstance(fp_or_path, (str, bytes)):
+        self._owns_fp = isinstance(fp_or_path, (str, bytes))
+        if self._owns_fp:
             fp_or_path = open(fp_or_path, "rb")
         self.decoder = Decoder(fp_or_path)
         self.batch_frames = batch_frames
@@ -85,6 +94,16 @@ class BatchDecoder:
         (via SEEKTABLE when present); returns the sample actually seeked
         to — the caller discards ``sample - actual`` leading samples."""
         return self.decoder.seek(sample)
+
+    def close(self) -> None:
+        if self._owns_fp:
+            self.decoder.fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def read_batch_device(self):
         """Decode up to batch_frames frames; returns a device array
@@ -122,7 +141,9 @@ class BatchDecoder:
 
         args = [raw["buf"], raw["qcoeffs"], raw["shift"], raw["order"],
                 raw["wasted"], raw["assignment"]]
-        if self.mesh is not None and raw["n"] % self.mesh.size == 0:
+        batch_axis = (self.mesh.shape[self.mesh.axis_names[0]]
+                      if self.mesh is not None else 1)
+        if self.mesh is not None and raw["n"] % batch_axis == 0:
             from .mesh import shard_batch
 
             args = [shard_batch(self.mesh, a) for a in args]
@@ -131,19 +152,26 @@ class BatchDecoder:
         pcm = _device_reconstruct(*args, self.block_size)
         return pcm, raw["blocks"]
 
+    def read_batch_interleaved(self):
+        """One decoded batch as a ((samples, channels) device array) with
+        tail padding trimmed (FLAC's only-last-frame-short invariant), or
+        None at end of stream."""
+        got = self.read_batch_device()
+        if got is None:
+            return None
+        pcm, blocks = got
+        flat = jnp.swapaxes(pcm, 1, 2).reshape(-1, pcm.shape[1])
+        if int(blocks[-1]) != pcm.shape[2]:
+            flat = flat[: int(np.asarray(blocks).sum())]
+        return flat
+
     def read_all_device(self):
         """Whole stream as one (total, channels) device array."""
         parts = []
         while True:
-            got = self.read_batch_device()
-            if got is None:
+            flat = self.read_batch_interleaved()
+            if flat is None:
                 break
-            pcm, blocks = got
-            B = pcm.shape[0]
-            flat = jnp.swapaxes(pcm, 1, 2).reshape(-1, pcm.shape[1])
-            if int(blocks[-1]) != pcm.shape[2]:
-                keep = int(blocks.sum())
-                flat = flat[: keep]
             parts.append(flat)
         if not parts:
             return jnp.zeros((0, self.streaminfo.channels), jnp.int32)

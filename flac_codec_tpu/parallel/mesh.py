@@ -23,8 +23,15 @@ def batch_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
-def shard_batch(mesh: Mesh, arr, axis_name: str = "batch"):
-    """Place an array with its leading (batch) axis sharded over the mesh."""
+def shard_batch(mesh: Mesh, arr, axis_name: Optional[str] = None):
+    """Place an array with its leading (batch) axis sharded over the mesh.
+
+    ``axis_name`` defaults to the mesh's first axis, so meshes named
+    differently (e.g. a 2-D ("data", "model") mesh) work out of the box —
+    the batch axis shards over that first mesh dimension.
+    """
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
     spec = P(axis_name, *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
 

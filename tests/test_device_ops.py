@@ -238,7 +238,9 @@ def test_batch_pipeline_verbatim_fallback():
     b2 = io.BytesIO()
     be = BatchEncoder(b2, opts, 44100, 16, 2, total_samples=n,
                       batch_frames=5, analysis="f64")
-    assert be.pack_budget == 18  # native present; bps+2 default
+    from flac_codec_tpu import native
+    if native.load() is not None:
+        assert be.pack_budget == 18  # bps+2 default with native splicing
     be.write(inter)
     be.finalize()
     assert b1.getvalue() == b2.getvalue()

@@ -276,3 +276,20 @@ def test_batch_pipeline_signal_classes():
         be.write(inter)
         be.finalize()
         assert b1.getvalue() == b2.getvalue(), f"mismatch for {name}"
+
+
+def test_batch_pipeline_unknown_total():
+    """Streaming without total_samples (placeholder-free seektable path)."""
+    rng = np.random.default_rng(29)
+    n = 1024 * 5 + 100
+    inter = rng.integers(-3000, 3000, 2 * n).astype(np.int32)
+    opts = Options(block_size=1024)
+    b1 = io.BytesIO()
+    w = FlacSampleWriter(b1, opts, 44100, 16, 2)
+    w.write(inter)
+    w.finalize()
+    b2 = io.BytesIO()
+    be = BatchEncoder(b2, opts, 44100, 16, 2, batch_frames=2)
+    be.write(inter)
+    be.finalize()
+    assert b1.getvalue() == b2.getvalue()

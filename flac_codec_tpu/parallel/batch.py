@@ -4,7 +4,7 @@
 planner (`ops.encode_frames_plan`) on batches — optionally sharded over a
 mesh — and assembles the resulting plans into FLAC frames on host via the
 native bit-packing engine.  Output is bit-identical to the sequential host
-encoder at matched parameters (pinned in tests/test_batch_pipeline.py).
+encoder at matched parameters (pinned in tests/test_device_ops.py).
 
 This is the TPU replacement for the reference's frame-at-a-time loop
 (reference: src/encode.rs:366-385) — SURVEY §2.7's "frame-level batching is

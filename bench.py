@@ -163,12 +163,15 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
             jnp.asarray(np.full(B, 12, np.int32)))
     out = predict_batch(*args, N)
     jax.block_until_ready(out)
-    for _ in range(8):  # warm the allocator size-class (first-touch cost)
-        out = predict_batch(*args, N)
-    jax.block_until_ready(out)
+    # warm the allocator size-class (first-touch cost) with full-size
+    # chains before timing; keep the best of several timed chains
+    for _ in range(2):
+        for _ in range(8):
+            out = predict_batch(*args, N)
+        jax.block_until_ready(out)
     mb = B * N * 2 / 1e6
     best = None
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.time()
         for _ in range(8):
             out = predict_batch(*args, N)

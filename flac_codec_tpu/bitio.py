@@ -337,7 +337,7 @@ class BitReader:
         self.fill_to_eof() if self._source is not None and not self._eof else None
         buf = np.frombuffer(bytes(self.data) + b"\xff" * 8, dtype=np.uint8)
         limit = len(self.data) * 8
-        res, end = nat.unpack_rice(buf, self.pos, n, k)
+        res, end = nat.unpack_rice(buf, self.pos, n, k, limit)
         if end > limit:
             raise EndOfStream("rice read past end of stream")
         self.pos = end

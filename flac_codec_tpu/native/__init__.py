@@ -44,7 +44,7 @@ class Native:
         lib.nat_pack_rice.restype = ctypes.c_uint64
         lib.nat_pack_rice.argtypes = [u8p, ctypes.c_uint64, i32p, ctypes.c_size_t, ctypes.c_uint32]
         lib.nat_unpack_rice.restype = ctypes.c_uint64
-        lib.nat_unpack_rice.argtypes = [u8p, ctypes.c_uint64, i32p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.nat_unpack_rice.argtypes = [u8p, ctypes.c_uint64, i32p, ctypes.c_size_t, ctypes.c_uint32, ctypes.c_uint64]
         lib.nat_unpack_signed.restype = ctypes.c_uint64
         lib.nat_unpack_signed.argtypes = [u8p, ctypes.c_uint64, i64p, ctypes.c_size_t, ctypes.c_uint32]
         lib.nat_pack_signed.restype = ctypes.c_uint64
@@ -103,11 +103,17 @@ class Native:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
             res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(res), k)
 
-    def unpack_rice(self, buf: np.ndarray, bitpos: int, n: int, k: int):
+    def unpack_rice(self, buf: np.ndarray, bitpos: int, n: int, k: int,
+                    limit_bits: int = None):
+        """limit_bits bounds every read (defaults to the buffer size);
+        returns end > limit_bits on truncation (callers raise)."""
+        if limit_bits is None:
+            limit_bits = len(buf) * 8
         res = np.empty(n, dtype=np.int32)
         end = self._lib.nat_unpack_rice(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
-            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, k)
+            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, k,
+            limit_bits)
         return res, end
 
     def unpack_signed(self, buf: np.ndarray, bitpos: int, n: int, width: int):

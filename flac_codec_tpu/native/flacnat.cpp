@@ -38,6 +38,11 @@ static void init_tables() {
     tables_ready = true;
 }
 
+// run table init during (single-threaded) static initialization at library
+// load so concurrent first calls from GIL-released ctypes threads never
+// race the lazy flag
+static const bool tables_ready_static = (init_tables(), true);
+
 uint32_t nat_crc8(const uint8_t* data, size_t n, uint32_t crc) {
     if (!tables_ready) init_tables();
     for (size_t i = 0; i < n; i++) crc = CRC8_TABLE[(crc ^ data[i]) & 0xFF];
@@ -98,12 +103,24 @@ uint64_t nat_pack_rice(uint8_t* out, uint64_t bitpos,
 }
 
 // Decode n Rice residuals with parameter k from buf starting at bitpos.
+// ``limit_bits`` bounds every read; on truncation the remaining residuals
+// are zero-filled and limit_bits + 1 is returned (callers treat
+// end > limit as an error), so no read ever passes the buffer end.
 uint64_t nat_unpack_rice(const uint8_t* buf, uint64_t bitpos,
-                         int32_t* res, size_t n, uint32_t k) {
+                         int32_t* res, size_t n, uint32_t k,
+                         uint64_t limit_bits) {
     for (size_t i = 0; i < n; i++) {
+        if (bitpos + k + 1 > limit_bits) {
+            for (size_t j = i; j < n; j++) res[j] = 0;
+            return limit_bits + 1;
+        }
         // unary: count zero bits until a 1
         uint32_t q = 0;
         for (;;) {
+            if (bitpos >= limit_bits) {  // ran off the end mid-unary
+                for (size_t j = i; j < n; j++) res[j] = 0;
+                return limit_bits + 1;
+            }
             uint64_t byte = bitpos >> 3;
             uint32_t bit_in_byte = (uint32_t)(bitpos & 7);
             uint8_t cur = (uint8_t)(buf[byte] << bit_in_byte);   // bits from pos left-aligned
@@ -119,6 +136,10 @@ uint64_t nat_unpack_rice(const uint8_t* buf, uint64_t bitpos,
             }
         }
         uint32_t lsb = 0;
+        if (bitpos + k > limit_bits) {  // LSB field would pass the end
+            for (size_t j = i; j < n; j++) res[j] = 0;
+            return limit_bits + 1;
+        }
         for (uint32_t got = 0; got < k;) {
             uint64_t byte = bitpos >> 3;
             uint32_t bit_in_byte = (uint32_t)(bitpos & 7);
@@ -414,6 +435,13 @@ int64_t nat_assemble_batch(
         uint8_t* frame_buf = out + (uint64_t)b * max_bytes;
         BitSink w{frame_buf};
 
+        if (first_frame_number + b > 0xFFFFFFFFFull) {
+            // beyond the 36-bit varint: skip so the caller's host path
+            // raises the precise ExcessiveFrameNumber error
+            lengths[b] = 0;
+            return;
+        }
+
         uint32_t a = assignment[b];
         // header
         w.put(0b111111111111100, 15);
@@ -599,6 +627,7 @@ struct BitGet {
     inline uint32_t get_unary() {
         uint32_t q = 0;
         for (;;) {
+            if (bitpos >= limit) return q;  // caller checks fits()
             uint64_t byte = bitpos >> 3;
             uint32_t bib = (uint32_t)(bitpos & 7);
             uint8_t cur = (uint8_t)(buf[byte] << bib);
@@ -871,8 +900,11 @@ int64_t nat_decode_frames(
             *error = DEC_HDR; break;
         }
         if (remaining_samples != ~0ull
-            && !(block_size == remaining_samples || block_size > 14)) {
-            *error = DEC_SHORT_BLOCK; break;
+            && (block_size > remaining_samples
+                || !(block_size == remaining_samples || block_size > 14))) {
+            *error = DEC_SHORT_BLOCK;
+            g.bitpos = frame_start_byte * 8;
+            break;
         }
 
         // --- subframes ---
@@ -1030,10 +1062,19 @@ int64_t nat_parse_frames_raw(
             g.bitpos = frame_start_byte * 8;
             break;
         }
-        if (fbps >= 32 && ca >= 8) { *error = DEC_PARAMS; break; }
+        if (fbps >= 32 && ca >= 8) {
+            // 33-bit side channels exceed the int32 device buffers: leave
+            // the whole frame to the caller's scalar path (rewind!)
+            *error = DEC_PARAMS;
+            g.bitpos = frame_start_byte * 8;
+            break;
+        }
         if (remaining_samples != ~0ull
-            && !(fr_block == remaining_samples || fr_block > 14)) {
-            *error = DEC_SHORT_BLOCK; break;
+            && (fr_block > remaining_samples   // would underflow the count
+                || !(fr_block == remaining_samples || fr_block > 14))) {
+            *error = DEC_SHORT_BLOCK;
+            g.bitpos = frame_start_byte * 8;
+            break;
         }
 
         if (chbuf.size() < (size_t)ch_count * fr_block)

@@ -229,22 +229,23 @@ def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
         **kwargs,
     )
 
+    # frames the native core could not finish: blob overflowed its budget
+    # (impossible at the default bps+2 budget), a verbatim subframe met
+    # warm-up-only channel data, or a frame number past the 36-bit varint.
+    # Re-encode those on host — bit-identical by the parity invariant, and
+    # the host path raises precise errors for genuinely invalid frames.
+    redo = np.array([f is None for f in frames], dtype=bool)
     if "packed_words" in plan:
-        # frames the native core could not finish from the packed plan:
-        # blob overflowed its budget (impossible at the default bps+2
-        # budget), or a verbatim subframe met warm-up-only channel data.
-        # Re-encode those on host — bit-identical by the parity invariant.
-        redo = np.array([f is None for f in frames], dtype=bool)
         for p in chans_plans:
             redo |= np.asarray(p["res_overflow"])
-        if redo.any():
-            assert fallback_options is not None, \
-                "packed plans need fallback_options for fallback frames"
-            for b in np.nonzero(redo)[0]:
-                frames[b] = encode_frame(
-                    fallback_options, streaminfo, first_frame_number + int(b),
-                    [pcm[b, c].astype(np.int64)
-                     for c in range(pcm.shape[1])])
+    if redo.any():
+        assert fallback_options is not None, \
+            "native assembly needs fallback_options for fallback frames"
+        for b in np.nonzero(redo)[0]:
+            frames[b] = encode_frame(
+                fallback_options, streaminfo, first_frame_number + int(b),
+                [pcm[b, c].astype(np.int64)
+                 for c in range(pcm.shape[1])])
     return frames
 
 

@@ -803,6 +803,76 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
     return DEC_OK;
 }
 
+struct FrameHdr {
+    uint32_t block_size, rate, bps, ch_count, ca;
+};
+
+// Parse + validate one frame header (sync code, codes, frame-number varint,
+// size/rate escapes, CRC-8) shared by the bulk decoder and the raw parser
+// (reference: src/stream.rs:151-240).  ``frame_start_byte`` is the
+// byte-aligned position the caller recorded before calling.  streaminfo
+// context supplies the escape values.  Returns DEC_OK or a DEC_* code; the
+// caller decides whether to rewind.
+static int parse_frame_header(BitGet& g, const uint8_t* buf,
+                              uint64_t frame_start_byte,
+                              uint32_t streaminfo_rate,
+                              uint32_t streaminfo_bps, FrameHdr* hdr) {
+    if (!g.fits(40)) return DEC_EOF;
+    if (g.get(15) != 0b111111111111100) return DEC_SYNC;
+    g.get(1);  // blocking strategy
+    uint32_t bsc = g.get(4), src = g.get(4), ca = g.get(4), bpc = g.get(3);
+    g.get(1);
+    // frame number varint
+    if (!g.fits(8)) return DEC_EOF;
+    uint32_t b0 = g.get(8);
+    if (b0 >= 0x80) {
+        uint32_t cont = 0, lead = b0;
+        while (lead & 0x80) { cont++; lead <<= 1; }
+        if (cont == 1 || cont > 7) return DEC_HDR;
+        cont -= 1;
+        if (!g.fits(8ull * cont)) return DEC_EOF;
+        for (uint32_t i = 0; i < cont; i++)
+            if ((g.get(8) >> 6) != 0b10) return DEC_HDR;
+    }
+    {
+        static const uint32_t BS[16] = {0, 192, 576, 1152, 2304, 4608, 0, 0,
+                                        256, 512, 1024, 2048, 4096, 8192,
+                                        16384, 32768};
+        if (bsc == 0) return DEC_HDR;
+        else if (bsc == 6) { if (!g.fits(8)) return DEC_EOF; hdr->block_size = g.get(8) + 1; }
+        else if (bsc == 7) { if (!g.fits(16)) return DEC_EOF; hdr->block_size = g.get(16) + 1; }
+        else hdr->block_size = BS[bsc];
+    }
+    {
+        static const uint32_t SR[16] = {0, 88200, 176400, 192000, 8000,
+                                        16000, 22050, 24000, 32000, 44100,
+                                        48000, 96000, 0, 0, 0, 0};
+        if (src == 0) hdr->rate = streaminfo_rate;
+        else if (src == 12) { if (!g.fits(8)) return DEC_EOF; hdr->rate = g.get(8) * 1000; }
+        else if (src == 13) { if (!g.fits(16)) return DEC_EOF; hdr->rate = g.get(16); }
+        else if (src == 14) { if (!g.fits(16)) return DEC_EOF; hdr->rate = g.get(16) * 10; }
+        else if (src == 15) return DEC_HDR;
+        else hdr->rate = SR[src];
+    }
+    {
+        static const uint32_t BP[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+        if (bpc == 0) hdr->bps = streaminfo_bps;
+        else if (bpc == 3) return DEC_HDR;
+        else hdr->bps = BP[bpc];
+    }
+    hdr->ca = ca;
+    hdr->ch_count = ca <= 7 ? ca + 1 : 2;
+    if (ca > 10) return DEC_HDR;
+    // CRC-8 over the header bytes
+    uint64_t crc_byte = g.bitpos >> 3;
+    if (!g.fits(8)) return DEC_EOF;
+    uint32_t expected = g.get(8);
+    if (nat_crc8(buf + frame_start_byte, crc_byte - frame_start_byte, 0)
+        != expected)
+        return DEC_CRC8;
+    return DEC_OK;
+}
+
 }  // namespace
 
 extern "C" {
@@ -830,69 +900,13 @@ int64_t nat_decode_frames(
             *error = DEC_EOF;
             break;
         }
-        if (!g.fits(40)) { *error = DEC_EOF; break; }
-
-        // --- header ---
-        if (g.get(15) != 0b111111111111100) { *error = DEC_SYNC; break; }
-        g.get(1);  // blocking strategy
-        uint32_t bsc = g.get(4), src = g.get(4), ca = g.get(4), bpc = g.get(3);
-        g.get(1);
-        // frame number varint
-        if (!g.fits(8)) { *error = DEC_EOF; break; }
-        uint32_t b0 = g.get(8);
-        uint32_t cont = 0;
-        if (b0 >= 0x80) {
-            uint32_t lead = b0;
-            while (lead & 0x80) { cont++; lead <<= 1; }
-            if (cont == 1 || cont > 7) { *error = DEC_HDR; break; }
-            cont -= 1;
-            if (!g.fits(8ull * cont)) { *error = DEC_EOF; break; }
-            for (uint32_t i = 0; i < cont; i++) {
-                uint32_t cb = g.get(8);
-                if ((cb >> 6) != 0b10) { *error = DEC_HDR; goto done; }
-            }
-        }
-        uint32_t block_size;
-        {
-            static const uint32_t BS[16] = {0, 192, 576, 1152, 2304, 4608, 0, 0,
-                                            256, 512, 1024, 2048, 4096, 8192,
-                                            16384, 32768};
-            if (bsc == 0) { *error = DEC_HDR; break; }
-            else if (bsc == 6) { if (!g.fits(8)) { *error = DEC_EOF; break; } block_size = g.get(8) + 1; }
-            else if (bsc == 7) { if (!g.fits(16)) { *error = DEC_EOF; break; } block_size = g.get(16) + 1; }
-            else block_size = BS[bsc];
-        }
-        uint32_t rate;
-        {
-            static const uint32_t SR[16] = {0, 88200, 176400, 192000, 8000,
-                                            16000, 22050, 24000, 32000, 44100,
-                                            48000, 96000, 0, 0, 0, 0};
-            if (src == 0) rate = sample_rate;
-            else if (src == 12) { if (!g.fits(8)) { *error = DEC_EOF; break; } rate = g.get(8) * 1000; }
-            else if (src == 13) { if (!g.fits(16)) { *error = DEC_EOF; break; } rate = g.get(16); }
-            else if (src == 14) { if (!g.fits(16)) { *error = DEC_EOF; break; } rate = g.get(16) * 10; }
-            else if (src == 15) { *error = DEC_HDR; break; }
-            else rate = SR[src];
-        }
-        uint32_t fbps;
-        {
-            static const uint32_t BP[8] = {0, 8, 12, 0, 16, 20, 24, 32};
-            if (bpc == 0) fbps = bps;
-            else if (bpc == 3) { *error = DEC_HDR; break; }
-            else fbps = BP[bpc];
-        }
-        uint32_t ch_count = ca <= 7 ? ca + 1 : 2;
-        if (ca > 10) { *error = DEC_HDR; break; }
-
-        // CRC-8 over header bytes
-        {
-            uint64_t crc_byte = g.bitpos >> 3;
-            if (!g.fits(8)) { *error = DEC_EOF; break; }
-            uint32_t expected = g.get(8);
-            uint32_t actual = nat_crc8(buf + frame_start_byte,
-                                       crc_byte - frame_start_byte, 0);
-            if (actual != expected) { *error = DEC_CRC8; break; }
-        }
+        // --- header (shared parser) ---
+        FrameHdr hdr;
+        int hrc = parse_frame_header(g, buf, frame_start_byte, sample_rate,
+                                     bps, &hdr);
+        if (hrc != DEC_OK) { *error = (uint32_t)hrc; break; }
+        uint32_t block_size = hdr.block_size, rate = hdr.rate,
+                 fbps = hdr.bps, ch_count = hdr.ch_count, ca = hdr.ca;
 
         // streaminfo cross-validation (reference: src/stream.rs:279-313)
         if (block_size > max_block || rate != sample_rate
@@ -954,7 +968,6 @@ int64_t nat_decode_frames(
         if (remaining_samples != ~0ull) remaining_samples -= block_size;
         decoded++;
     }
-done:
     *end_bitpos = g.bitpos;
     return decoded;
 }
@@ -997,62 +1010,13 @@ int64_t nat_parse_frames_raw(
         if (remaining_samples != ~0ull && remaining_samples == 0) {
             *error = DEC_EOF; break;
         }
-        if (!g.fits(40)) { *error = DEC_EOF; break; }
-        if (g.get(15) != 0b111111111111100) { *error = DEC_SYNC; break; }
-        g.get(1);
-        uint32_t bsc = g.get(4), src = g.get(4), ca = g.get(4), bpc = g.get(3);
-        g.get(1);
-        if (!g.fits(8)) { *error = DEC_EOF; break; }
-        uint32_t b0 = g.get(8);
-        if (b0 >= 0x80) {
-            uint32_t cont = 0, lead = b0;
-            while (lead & 0x80) { cont++; lead <<= 1; }
-            if (cont == 1 || cont > 7) { *error = DEC_HDR; break; }
-            cont -= 1;
-            if (!g.fits(8ull * cont)) { *error = DEC_EOF; break; }
-            bool bad = false;
-            for (uint32_t i = 0; i < cont; i++)
-                if ((g.get(8) >> 6) != 0b10) bad = true;
-            if (bad) { *error = DEC_HDR; break; }
-        }
-        uint32_t fr_block;
-        {
-            static const uint32_t BS[16] = {0, 192, 576, 1152, 2304, 4608, 0, 0,
-                                            256, 512, 1024, 2048, 4096, 8192,
-                                            16384, 32768};
-            if (bsc == 0) { *error = DEC_HDR; break; }
-            else if (bsc == 6) { if (!g.fits(8)) { *error = DEC_EOF; break; } fr_block = g.get(8) + 1; }
-            else if (bsc == 7) { if (!g.fits(16)) { *error = DEC_EOF; break; } fr_block = g.get(16) + 1; }
-            else fr_block = BS[bsc];
-        }
-        uint32_t rate;
-        {
-            static const uint32_t SR[16] = {0, 88200, 176400, 192000, 8000,
-                                            16000, 22050, 24000, 32000, 44100,
-                                            48000, 96000, 0, 0, 0, 0};
-            if (src == 0) rate = sample_rate;
-            else if (src == 12) { if (!g.fits(8)) { *error = DEC_EOF; break; } rate = g.get(8) * 1000; }
-            else if (src == 13) { if (!g.fits(16)) { *error = DEC_EOF; break; } rate = g.get(16); }
-            else if (src == 14) { if (!g.fits(16)) { *error = DEC_EOF; break; } rate = g.get(16) * 10; }
-            else if (src == 15) { *error = DEC_HDR; break; }
-            else rate = SR[src];
-        }
-        uint32_t fbps;
-        {
-            static const uint32_t BP[8] = {0, 8, 12, 0, 16, 20, 24, 32};
-            if (bpc == 0) fbps = bps;
-            else if (bpc == 3) { *error = DEC_HDR; break; }
-            else fbps = BP[bpc];
-        }
-        uint32_t ch_count = ca <= 7 ? ca + 1 : 2;
-        if (ca > 10) { *error = DEC_HDR; break; }
-        {
-            uint64_t crc_byte = g.bitpos >> 3;
-            if (!g.fits(8)) { *error = DEC_EOF; break; }
-            uint32_t expected = g.get(8);
-            if (nat_crc8(buf + frame_start_byte, crc_byte - frame_start_byte,
-                         0) != expected) { *error = DEC_CRC8; break; }
-        }
+        // --- header (shared parser) ---
+        FrameHdr hdr;
+        int hrc = parse_frame_header(g, buf, frame_start_byte, sample_rate,
+                                     bps, &hdr);
+        if (hrc != DEC_OK) { *error = (uint32_t)hrc; break; }
+        uint32_t fr_block = hdr.block_size, rate = hdr.rate,
+                 fbps = hdr.bps, ch_count = hdr.ch_count, ca = hdr.ca;
         // batched device path needs equal shapes + params matching stream
         if (rate != sample_rate || ch_count != channels || fbps != bps
             || fr_block > block_size) { *error = DEC_HDR; break; }

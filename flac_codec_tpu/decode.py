@@ -153,11 +153,13 @@ class Decoder:
                  frames_start: Optional[int] = None):
         if blocks is None:
             blocks = meta.read_blocks(fp)
-            if frames_start is None:
-                try:
-                    frames_start = fp.tell()
-                except (OSError, io.UnsupportedOperation):
-                    frames_start = None
+        if frames_start is None:
+            # works for pre-read blocks too: the caller's fp sits at the
+            # first frame right after reading the metadata
+            try:
+                frames_start = fp.tell()
+            except (OSError, io.UnsupportedOperation):
+                frames_start = None
         self.fp = fp
         self.blocks = blocks
         self.frames_start = frames_start
@@ -253,8 +255,13 @@ class Decoder:
             at_end = (
                 # declared total reached exactly
                 (total is not None and self.current_sample >= total)
-                # unknown total: EOF at a byte-aligned frame boundary
-                or (total is None and err == 1))
+                # unknown total: clean EOF means too few bytes remain for
+                # even a frame header (reference: EOF while reading the
+                # header ends the stream, decode.rs:1412-1421); a DEC_EOF
+                # with a header's worth of bytes left is a truncated frame
+                # and must raise via the scalar reparse below
+                or (total is None and err == 1
+                    and len(buf) * 8 - end_bitpos < 40))
             if not at_end:
                 # let the Python parser raise the precise error
                 self.r.pos = (self.r.pos + 7) & ~7
@@ -428,11 +435,22 @@ class FlacChannelReader:
     (reference: src/decode.rs:907-1097)."""
 
     def __init__(self, fp_or_path, blocks: Optional[meta.BlockList] = None):
-        if isinstance(fp_or_path, (str, bytes)):
+        self._owns_fp = isinstance(fp_or_path, (str, bytes))
+        if self._owns_fp:
             fp_or_path = open(fp_or_path, "rb")
         self.decoder = Decoder(fp_or_path, blocks)
         self._buf: Optional[np.ndarray] = None
         self._pos = 0
+
+    def close(self):
+        if self._owns_fp:
+            self.decoder.fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     @property
     def streaminfo(self) -> meta.Streaminfo:

@@ -105,12 +105,19 @@ class Options:
         return replace(self, seektable_interval=None)
 
     def tag(self, key: str, value: str) -> "Options":
+        # deep-copy the VorbisComment before mutating: the block object is
+        # shared with the parent Options (and any BlockList holding it)
+        import copy
+
         o = replace(self, metadata_blocks=list(self.metadata_blocks))
-        vc = next((b for b in o.metadata_blocks
-                   if isinstance(b, meta.VorbisComment)), None)
-        if vc is None:
-            vc = meta.VorbisComment(vendor=f"flac-codec-tpu")
+        idx = next((i for i, b in enumerate(o.metadata_blocks)
+                    if isinstance(b, meta.VorbisComment)), None)
+        if idx is None:
+            vc = meta.VorbisComment(vendor="flac-codec-tpu")
             o.metadata_blocks.append(vc)
+        else:
+            vc = copy.deepcopy(o.metadata_blocks[idx])
+            o.metadata_blocks[idx] = vc
         vc.insert(key, value)
         return o
 
@@ -446,14 +453,19 @@ def _filter_seekpoints(interval, sample_rate: int,
                        points: List[EncoderSeekPoint]) -> List[EncoderSeekPoint]:
     kind, value = interval
     if kind == "frames":
-        return points[::value]
-    nth_sample = value * sample_rate
+        return points[::max(1, value)]
+    nth_sample = max(1, value * sample_rate)
     out = []
     offset = 0
     for p in points:
         if p.sample_offset <= offset < p.sample_offset + p.frame_samples:
             out.append(p)
             offset += nth_sample
+            # an interval shorter than a frame would leave the target
+            # inside the frame just kept, stalling forever: snap to the
+            # next frame (densest = one point per frame)
+            if offset < p.sample_offset + p.frame_samples:
+                offset = p.sample_offset + p.frame_samples
     return out
 
 
@@ -592,7 +604,7 @@ class Encoder:
                     new_table = meta.SeekTable([
                         meta.SeekPoint(p.sample_offset, p.byte_offset,
                                        p.frame_samples)
-                        for p in final_points])
+                        for p in final_points[:MAX_SEEKTABLE_POINTS]])
                     needed = 4 + len(new_table.to_bytes())
                     if pad.size >= needed:
                         pad.size -= needed
@@ -643,18 +655,41 @@ class FlacSampleWriter:
             self._owns_fp = False
         self.encoder = Encoder(fp_or_path, options, sample_rate,
                                bits_per_sample, channels, total_samples)
-        self._buf = np.empty(0, dtype=np.int64)
+        self._chunks: list = []
+        self._buffered = 0
         self._frame_len = options.block_size * channels
 
+    @property
+    def _buf(self) -> np.ndarray:
+        if len(self._chunks) != 1:
+            merged = (np.concatenate(self._chunks) if self._chunks
+                      else np.empty(0, dtype=np.int64))
+            self._chunks = [merged]
+        return self._chunks[0]
+
+    @_buf.setter
+    def _buf(self, value) -> None:
+        self._chunks = [value] if len(value) else []
+        self._buffered = len(value)
+
     def write(self, samples) -> None:
+        # accumulate chunks; merge only when a whole frame is buffered so
+        # many small writes stay O(n) instead of re-copying the remainder
         samples = np.asarray(samples, dtype=np.int64)
-        self._buf = np.concatenate([self._buf, samples])
+        if len(samples):
+            self._chunks.append(samples)
+            self._buffered += len(samples)
+        if self._buffered < self._frame_len:
+            return
+        buf = self._buf
         ch = self.encoder.channel_count
-        while len(self._buf) >= self._frame_len:
-            chunk, self._buf = (self._buf[:self._frame_len],
-                                self._buf[self._frame_len:])
+        pos = 0
+        while len(buf) - pos >= self._frame_len:
+            chunk = buf[pos:pos + self._frame_len]
+            pos += self._frame_len
             self.encoder.update_md5(chunk)
             self.encoder.encode(list(deinterleave(chunk, ch)))
+        self._buf = buf[pos:]
 
     def finalize(self) -> None:
         if len(self._buf):
@@ -675,6 +710,9 @@ class FlacSampleWriter:
     def __exit__(self, exc_type, *exc):
         if exc_type is None:
             self.finalize()
+        elif self._owns_fp:
+            # error path: skip finalize but don't leak the descriptor
+            self.encoder.fp.close()
 
 
 class FlacChannelWriter:
@@ -724,6 +762,9 @@ class FlacChannelWriter:
     def __exit__(self, exc_type, *exc):
         if exc_type is None:
             self.finalize()
+        elif self._owns_fp:
+            # error path: skip finalize but don't leak the descriptor
+            self.encoder.fp.close()
 
 
 class FlacByteWriter:
@@ -777,6 +818,9 @@ class FlacByteWriter:
     def __exit__(self, exc_type, *exc):
         if exc_type is None:
             self.finalize()
+        elif self._owns_fp:
+            # error path: skip finalize but don't leak the descriptor
+            self.encoder.fp.close()
 
 
 class FlacStreamWriter:

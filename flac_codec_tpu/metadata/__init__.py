@@ -252,13 +252,14 @@ def update_file(path: str,
     new_len = serialized_len(blocklist)
 
     if new_len < old_len:
-        # grow first PADDING (or add one) to keep frame offsets unchanged
+        # grow first PADDING (or add one) to keep frame offsets unchanged;
+        # a padding body is capped at 2^24-1 bytes, past that rebuild
         delta = old_len - new_len
         pad = blocklist.get(Padding)
-        if pad is not None:
+        if pad is not None and pad.size + delta < (1 << 24):
             pad.size += delta
             new_len = old_len
-        elif delta >= 4:
+        elif pad is None and 4 <= delta and delta - 4 < (1 << 24):
             blocklist.blocks.append(Padding(delta - 4))
             new_len = old_len
 

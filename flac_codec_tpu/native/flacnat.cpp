@@ -893,9 +893,10 @@ int64_t nat_decode_frames(
 
     int64_t decoded = 0;
     int32_t* out_ptr = out;
+    uint64_t frame_start_byte = g.bitpos >> 3;
     for (uint32_t f = 0; f < n_frames; f++) {
         g.align();
-        uint64_t frame_start_byte = g.bitpos >> 3;
+        frame_start_byte = g.bitpos >> 3;
         if (remaining_samples != ~0ull && remaining_samples == 0) {
             *error = DEC_EOF;
             break;
@@ -968,6 +969,11 @@ int64_t nat_decode_frames(
         if (remaining_samples != ~0ull) remaining_samples -= block_size;
         decoded++;
     }
+    // on ANY stop reason, report the failed frame's start so the caller's
+    // scalar reparse raises the precise error for THAT frame instead of
+    // silently skipping it (CRC-16 failures used to leave the position
+    // past the bad frame)
+    if (*error != DEC_OK) g.bitpos = frame_start_byte * 8;
     *end_bitpos = g.bitpos;
     return decoded;
 }
@@ -1004,9 +1010,10 @@ int64_t nat_parse_frames_raw(
     *error = DEC_OK;
 
     int64_t decoded = 0;
+    uint64_t frame_start_byte = g.bitpos >> 3;
     for (uint32_t f = 0; f < n_frames; f++) {
         g.align();
-        uint64_t frame_start_byte = g.bitpos >> 3;
+        frame_start_byte = g.bitpos >> 3;
         if (remaining_samples != ~0ull && remaining_samples == 0) {
             *error = DEC_EOF; break;
         }

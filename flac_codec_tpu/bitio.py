@@ -96,7 +96,10 @@ class BitWriter:
         src/stream.rs:3044-3078).
         """
         nat = _native()
-        if nat is not None and len(residuals) > 8:
+        wide = len(residuals) and (
+            int(np.max(residuals)) > 0x7FFFFFFF
+            or int(np.min(residuals)) < -0x80000000)
+        if nat is not None and len(residuals) > 8 and not wide:
             res = np.ascontiguousarray(residuals, dtype=np.int32)
             v = res.astype(np.int64)
             u = np.where(v < 0, ((-v - 1) << 1) + 1, v << 1).astype(np.uint64)
@@ -115,6 +118,8 @@ class BitWriter:
         """Write two's-complement values; raises OverflowError when a value
         does not fit (mirrors bitstream-io's checked signed writes, which the
         reference encoder relies on to reject impossible escape codes)."""
+        if width == 0:
+            return  # zero-width fields carry no bits (read side zero-fills)
         if len(values):
             v = np.asarray(values)
             lo, hi = -(1 << (width - 1)), (1 << (width - 1)) - 1
@@ -137,10 +142,8 @@ class BitWriter:
         head_val = self._acc
         self._acc = 0
         self._accbits = 0
-        start_bit = len(self.buf) * 8
         nbytes = (head_bits + total_bits + 7) // 8
         area = np.zeros(nbytes + 8, dtype=np.uint8)
-        pos = start_bit % 8  # == 0
         pos = 0
         if head_bits:
             # place pending accumulator bits at the head of the area
@@ -187,7 +190,8 @@ class BitReader:
     Raises :class:`EndOfStream` past the end.
     """
 
-    __slots__ = ("data", "pos", "_source", "_base", "_eof", "_np_view")
+    __slots__ = ("data", "pos", "_source", "_base", "_eof", "_np_view",
+                 "_gbuf", "_gbuf_len")
 
     CHUNK = 1 << 16
 
@@ -195,6 +199,8 @@ class BitReader:
                  source: Optional[BinaryIO] = None) -> None:
         self.data = bytearray(data or b"")
         self.pos = 0  # bit position within self.data
+        self._gbuf = None       # cached guarded numpy view of self.data
+        self._gbuf_len = -1
         self._source = source
         self._base = 0  # absolute byte offset of data[0] in the source
         self._eof = source is None
@@ -236,6 +242,16 @@ class BitReader:
             self._np_view = np.frombuffer(self.data, dtype=np.uint8)
         return self._np_view
 
+    def _guarded(self) -> np.ndarray:
+        """Cached copy of the buffer with 8 guard bytes for the native
+        array readers — rebuilding per call made each partition read
+        O(remaining stream)."""
+        if self._gbuf is None or self._gbuf_len != len(self.data):
+            self._gbuf = np.frombuffer(
+                bytes(self.data) + b"\x00" * 8, dtype=np.uint8)
+            self._gbuf_len = len(self.data)
+        return self._gbuf
+
     def discard_consumed(self) -> None:
         """Drop fully consumed bytes (call only at byte alignment points).
         No-op while a numpy view pins the buffer."""
@@ -246,6 +262,7 @@ class BitReader:
             del self.data[:nbytes]
             self._base += nbytes
             self.pos -= nbytes * 8
+            self._gbuf = None  # same-length refills must not reuse the cache
 
     @property
     def abs_byte_pos(self) -> int:
@@ -323,19 +340,21 @@ class BitReader:
     # -- array fast paths ---------------------------------------------------
 
     def read_rice_array(self, n: int, k: int) -> np.ndarray:
-        """Read ``n`` Rice codes with parameter ``k`` into int32."""
+        """Read ``n`` Rice codes with parameter ``k`` into int64 (33-bit
+        side-channel residuals exceed int32; reference SubframeWidth::Wide)."""
         nat = _native()
         if nat is None or n <= 8:
-            out = np.empty(n, dtype=np.int32)
+            out = np.empty(n, dtype=np.int64)
             for i in range(n):
                 q = self.read_unary()
                 lsb = self.read(k) if k else 0
                 u = (q << k) | lsb
                 out[i] = -(u >> 1) - 1 if (u & 1) else (u >> 1)
             return out
-        # native path: operate on the contiguous buffer with guard bytes
-        self.fill_to_eof() if self._source is not None and not self._eof else None
-        buf = np.frombuffer(bytes(self.data) + b"\xff" * 8, dtype=np.uint8)
+        # native path: operate on the contiguous guarded buffer
+        if self._source is not None and not self._eof:
+            self.fill_to_eof()
+        buf = self._guarded()
         limit = len(self.data) * 8
         res, end = nat.unpack_rice(buf, self.pos, n, k, limit)
         if end > limit:
@@ -355,7 +374,7 @@ class BitReader:
             return out
         if not self._ensure_bits(n * width):
             raise EndOfStream("signed array read past end of stream")
-        buf = np.frombuffer(bytes(self.data) + b"\x00" * 8, dtype=np.uint8)
+        buf = self._guarded()
         res, end = nat.unpack_signed(buf, self.pos, n, width)
         self.pos = end
         return res

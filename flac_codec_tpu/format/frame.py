@@ -104,7 +104,6 @@ def encode_frame_number(w: BitWriter, num: int) -> None:
     for prefix_bytes, top_bits in ((2, 5), (3, 4), (4, 3), (5, 2), (6, 1), (7, 0)):
         payload_bits = top_bits + 6 * (prefix_bytes - 1)
         if num < (1 << payload_bits):
-            lead = ((0xFF << (8 - prefix_bytes)) & 0xFF) >> 1 << 1  # prefix ones
             lead = (0xFF >> (8 - prefix_bytes)) << (8 - prefix_bytes)
             w.write(lead | ((num >> (6 * (prefix_bytes - 1))) & ((1 << top_bits) - 1)), 8)
             for i in range(prefix_bytes - 2, -1, -1):
@@ -263,7 +262,7 @@ class FrameHeader:
             raise InvalidBlockSize(str(self.block_size))
         elif self.block_size <= 256:
             bs_code, bs_extra = 0b0110, (self.block_size - 1, 8)
-        elif self.block_size <= 65536:
+        elif self.block_size <= 65535:  # u16-bounded like the reference
             bs_code, bs_extra = 0b0111, (self.block_size - 1, 16)
         else:
             raise InvalidBlockSize(str(self.block_size))

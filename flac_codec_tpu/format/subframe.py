@@ -133,7 +133,7 @@ def write_residuals_verbatim(w: BitWriter, partitions, rice_bits: int) -> None:
     """
     escape_code = (1 << rice_bits) - 1
     w.write(0 if rice_bits == 4 else 1, 2)
-    w.write(int(np.log2(len(partitions))), 4)
+    w.write(len(partitions).bit_length() - 1, 4)  # exact: count is 2**po
     for kind, param, values in partitions:
         if kind == "rice":
             w.write(param, rice_bits)

@@ -44,7 +44,7 @@ class Native:
         lib.nat_pack_rice.restype = ctypes.c_uint64
         lib.nat_pack_rice.argtypes = [u8p, ctypes.c_uint64, i32p, ctypes.c_size_t, ctypes.c_uint32]
         lib.nat_unpack_rice.restype = ctypes.c_uint64
-        lib.nat_unpack_rice.argtypes = [u8p, ctypes.c_uint64, i32p, ctypes.c_size_t, ctypes.c_uint32, ctypes.c_uint64]
+        lib.nat_unpack_rice.argtypes = [u8p, ctypes.c_uint64, i64p, ctypes.c_size_t, ctypes.c_uint32, ctypes.c_uint64]
         lib.nat_unpack_signed.restype = ctypes.c_uint64
         lib.nat_unpack_signed.argtypes = [u8p, ctypes.c_uint64, i64p, ctypes.c_size_t, ctypes.c_uint32]
         lib.nat_pack_signed.restype = ctypes.c_uint64
@@ -109,10 +109,10 @@ class Native:
         returns end > limit_bits on truncation (callers raise)."""
         if limit_bits is None:
             limit_bits = len(buf) * 8
-        res = np.empty(n, dtype=np.int32)
+        res = np.empty(n, dtype=np.int64)
         end = self._lib.nat_unpack_rice(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bitpos,
-            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, k,
+            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, k,
             limit_bits)
         return res, end
 

@@ -107,7 +107,7 @@ uint64_t nat_pack_rice(uint8_t* out, uint64_t bitpos,
 // are zero-filled and limit_bits + 1 is returned (callers treat
 // end > limit as an error), so no read ever passes the buffer end.
 uint64_t nat_unpack_rice(const uint8_t* buf, uint64_t bitpos,
-                         int32_t* res, size_t n, uint32_t k,
+                         int64_t* res, size_t n, uint32_t k,
                          uint64_t limit_bits) {
     for (size_t i = 0; i < n; i++) {
         if (bitpos + k + 1 > limit_bits) {
@@ -150,8 +150,8 @@ uint64_t nat_unpack_rice(const uint8_t* buf, uint64_t bitpos,
             bitpos += take;
             got += take;
         }
-        uint32_t u = (q << k) | lsb;
-        res[i] = (u & 1) ? -((int32_t)(u >> 1)) - 1 : (int32_t)(u >> 1);
+        uint64_t u = ((uint64_t)q << k) | lsb;
+        res[i] = (u & 1) ? -((int64_t)(u >> 1)) - 1 : (int64_t)(u >> 1);
     }
     return bitpos;
 }
@@ -747,7 +747,8 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
                 }
             } else {
                 for (uint32_t i = 0; i < m; i++) {
-                    uint32_t qq, lsb, u;
+                    uint32_t qq, lsb;
+                    uint64_t u64;
                     // fast path: one unaligned 64-bit window covers the
                     // whole unary+LSB code in the common case
                     uint64_t byte = g.bitpos >> 3;
@@ -763,18 +764,19 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
                                              & ((1u << param) - 1))
                                 : 0;
                             g.bitpos += lz + 1 + param;
-                            u = (qq << param) | lsb;
-                            ch[pos + i] = (u & 1) ? -((int64_t)(u >> 1)) - 1
-                                                  : (int64_t)(u >> 1);
+                            u64 = ((uint64_t)qq << param) | lsb;
+                            ch[pos + i] = (u64 & 1)
+                                ? -((int64_t)(u64 >> 1)) - 1
+                                : (int64_t)(u64 >> 1);
                             continue;
                         }
                     }
                     qq = g.get_unary();
                     if (!g.fits(param + 1)) return DEC_EOF;
                     lsb = param ? g.get(param) : 0;
-                    u = (qq << param) | lsb;
-                    ch[pos + i] = (u & 1) ? -((int64_t)(u >> 1)) - 1
-                                          : (int64_t)(u >> 1);
+                    u64 = ((uint64_t)qq << param) | lsb;
+                    ch[pos + i] = (u64 & 1) ? -((int64_t)(u64 >> 1)) - 1
+                                            : (int64_t)(u64 >> 1);
                 }
             }
             pos += m;

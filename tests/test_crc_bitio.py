@@ -194,3 +194,23 @@ def test_reader_streaming_refill():
         out.append(r.read(8))
     assert bytes(out) == payload
     assert r.at_eof()
+
+
+def test_rice_array_wide_values_roundtrip():
+    """33-bit side-channel residuals exceed int32 (reference
+    SubframeWidth::Wide); both rice array paths must stay exact."""
+    import numpy as np
+
+    from flac_codec_tpu.bitio import BitReader, BitWriter
+
+    wide = np.array([0, -1, 5, 2**31 + 5, -(2**31) - 99, 2**33,
+                     -(2**32) - 1, 123456789] * 4, dtype=np.int64)
+    small = np.array([0, -1, 5, 1000, -4096, 77] * 4, dtype=np.int64)
+    # unary length is u >> k: keep quotients small per parameter
+    for k, vals in ((0, small), (7, small), (22, wide), (30, wide)):
+        w = BitWriter()
+        w.write_rice_array(vals, k)
+        w.byte_align()
+        r = BitReader(w.getvalue())
+        out = r.read_rice_array(len(vals), k)
+        np.testing.assert_array_equal(out, vals)

@@ -219,6 +219,8 @@ class VorbisComment:
             pos = 0
             (vlen,) = struct.unpack_from("<I", data, pos)
             pos += 4
+            if pos + vlen > len(data):
+                raise InvalidVorbisComment("vendor string overruns block")
             vendor = data[pos:pos + vlen].decode("utf-8")
             pos += vlen
             (count,) = struct.unpack_from("<I", data, pos)
@@ -227,6 +229,8 @@ class VorbisComment:
             for _ in range(count):
                 (flen,) = struct.unpack_from("<I", data, pos)
                 pos += 4
+                if pos + flen > len(data):
+                    raise InvalidVorbisComment("field string overruns block")
                 fields.append(data[pos:pos + flen].decode("utf-8"))
                 pos += flen
             return cls(vendor, fields)
@@ -382,23 +386,29 @@ class Cuesheet:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "Cuesheet":
-        pos = 0
-        catalog = data[pos:pos + 128]; pos += 128
-        (lead_in,) = struct.unpack_from(">Q", data, pos); pos += 8
-        is_cdda = bool(data[pos] & 0x80); pos += 1 + 258
-        ntracks = data[pos]; pos += 1
-        tracks = []
-        for _ in range(ntracks):
-            t, pos = CuesheetTrack.parse(data, pos)
-            tracks.append(t)
-        return cls(catalog, lead_in, is_cdda, tracks)
+        from ..errors import InvalidMetadata
+
+        try:
+            pos = 0
+            catalog = data[pos:pos + 128]; pos += 128
+            (lead_in,) = struct.unpack_from(">Q", data, pos); pos += 8
+            is_cdda = bool(data[pos] & 0x80); pos += 1 + 258
+            ntracks = data[pos]; pos += 1
+            tracks = []
+            for _ in range(ntracks):
+                t, pos = CuesheetTrack.parse(data, pos)
+                tracks.append(t)
+            return cls(catalog, lead_in, is_cdda, tracks)
+        except (struct.error, IndexError) as e:
+            raise InvalidMetadata(f"truncated CUESHEET block: {e}")
 
     def track_sample_ranges(self) -> List[Tuple[int, Optional[int]]]:
         """(start, end) sample ranges per non-lead-out track (reference:
         src/metadata/mod.rs:3383-3411)."""
         ranges = []
-        ordinary = [t for t in self.tracks if t.number not in (170, 255)]
-        lead_out = next((t for t in self.tracks if t.number in (170, 255)), None)
+        lo = 170 if self.is_cdda else 255  # non-CDDA allows a track 170
+        ordinary = [t for t in self.tracks if t.number != lo]
+        lead_out = next((t for t in self.tracks if t.number == lo), None)
         for i, t in enumerate(ordinary):
             start = t.offset
             if i + 1 < len(ordinary):

@@ -35,16 +35,16 @@ CHANNELS: List[Tuple[str, int]] = [
 
 _BY_NAME = dict(CHANNELS)
 
-# default masks for 1-8 channels
+# default masks for 1-8 channels (reference: src/metadata/mod.rs:4935-4991)
 _DEFAULTS = {
-    1: 0x0004,                      # mono: front center
-    2: 0x0003,                      # L R
-    3: 0x0007,                      # L R C
-    4: 0x0033,                      # L R BL BR
-    5: 0x0037,                      # L R C BL BR
-    6: 0x003F,                      # L R C LFE BL BR
-    7: 0x013F,                      # L R C LFE BC SL SR -> 0x70F? keep RFC
-    8: 0x063F,                      # L R C LFE BL BR SL SR
+    1: 0x0004,                      # FC
+    2: 0x0003,                      # FL FR
+    3: 0x0007,                      # FL FR FC
+    4: 0x0033,                      # FL FR BL BR
+    5: 0x0607,                      # FL FR FC SL SR
+    6: 0x060F,                      # FL FR FC LFE SL SR
+    7: 0x070F,                      # FL FR FC LFE BC SL SR
+    8: 0x063F,                      # FL FR FC LFE BL BR SL SR
 }
 
 

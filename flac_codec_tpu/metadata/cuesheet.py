@@ -52,6 +52,7 @@ class _TrackInProgress:
         self.number = number
         self.isrc: Optional[str] = None
         self.pre_emphasis = False
+        self.flags_seen = False
         self.non_audio = False
         self.indices: List[Tuple[int, int]] = []  # (abs offset, number)
 
@@ -66,7 +67,6 @@ def parse_cuesheet(text: str, lead_out_offset: Optional[int] = None) -> Cuesheet
     catalog: Optional[str] = None
     lead_in = 0
     lead_out: Optional[Tuple[int, int]] = None  # (track number, offset)
-    in_file = False
     tracks: List[_TrackInProgress] = []
 
     def finish_track():
@@ -87,10 +87,13 @@ def parse_cuesheet(text: str, lead_out_offset: Optional[int] = None) -> Cuesheet
         cmd = fields[0].upper()
 
         if cmd == "REM":
-            if len(fields) >= 3 and fields[1] == "FLAC__lead-in":
-                lead_in = int(fields[2])
-            elif len(fields) >= 4 and fields[1] == "FLAC__lead-out":
-                lead_out = (int(fields[2]), int(fields[3]))
+            try:
+                if len(fields) >= 3 and fields[1] == "FLAC__lead-in":
+                    lead_in = int(fields[2])
+                elif len(fields) >= 4 and fields[1] == "FLAC__lead-out":
+                    lead_out = (int(fields[2]), int(fields[3]))
+            except ValueError:
+                raise CuesheetError("InvalidLine", raw)
             continue
         if cmd == "CATALOG":
             if catalog is not None:
@@ -104,7 +107,6 @@ def parse_cuesheet(text: str, lead_out_offset: Optional[int] = None) -> Cuesheet
             continue
         if cmd == "FILE":
             finish_track()
-            in_file = True
             continue
         if cmd == "TRACK":
             finish_track()
@@ -128,12 +130,11 @@ def parse_cuesheet(text: str, lead_out_offset: Optional[int] = None) -> Cuesheet
             t = tracks[-1]
             if t.indices:
                 raise CuesheetError("LateFlags", raw)
-            if t.pre_emphasis:
+            if t.flags_seen:
                 raise CuesheetError("MultipleFlags", raw)
+            t.flags_seen = True
             if "PRE" in (f.upper() for f in fields[1:]):
                 t.pre_emphasis = True
-            else:
-                t.pre_emphasis = True  # flags present once, even without PRE
             continue
         if cmd == "ISRC":
             if not tracks:
@@ -212,7 +213,9 @@ def parse_cuesheet(text: str, lead_out_offset: Optional[int] = None) -> Cuesheet
     return Cuesheet(
         catalog=(catalog or "").encode("ascii").ljust(128, b"\x00"),
         lead_in=lead_in,
-        is_cdda=True,
+        # a 255-numbered lead-out declares a non-CD-DA cuesheet
+        # (reference cuesheet::LeadOut semantics)
+        is_cdda=lo_number != LEAD_OUT_NON_CDDA,
         tracks=out_tracks,
     )
 

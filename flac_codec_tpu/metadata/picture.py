@@ -17,12 +17,15 @@ _JPEG_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
 
 def sniff_metrics(data: bytes):
     """Return (mime, width, height, depth, colors_used) for PNG/JPEG/GIF."""
-    if data.startswith(PNG_SIG):
-        return _png(data)
-    if data[:2] == b"\xff\xd8":
-        return _jpeg(data)
-    if data[:6] in GIF_SIGS:
-        return _gif(data)
+    try:
+        if data.startswith(PNG_SIG):
+            return _png(data)
+        if data[:2] == b"\xff\xd8":
+            return _jpeg(data)
+        if data[:6] in GIF_SIGS:
+            return _gif(data)
+    except (struct.error, IndexError) as e:
+        raise InvalidPicture(f"truncated image: {e}")
     raise InvalidPicture("unsupported image format")
 
 

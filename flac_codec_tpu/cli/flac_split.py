@@ -20,16 +20,22 @@ def _split_one(path: str, out_dir: str, index: int, start: int, end) -> str:
     end = end if end is not None else si.total_samples
     r.seek(start)
     out_path = os.path.join(out_dir, f"track{index:02d}.flac")
+    # end can be unknown (no lead-out track AND no STREAMINFO total):
+    # stream to end of input with an unknown output total
     w = FlacSampleWriter(out_path, Options(), si.sample_rate,
                          si.bits_per_sample, si.channels,
-                         total_samples=end - start)
-    remaining = (end - start) * si.channels
-    while remaining > 0:
-        buf = r.read(min(remaining, 1 << 20))
+                         total_samples=(end - start) if end is not None
+                         else None)
+    remaining = ((end - start) * si.channels if end is not None
+                 else None)
+    while remaining is None or remaining > 0:
+        want = min(remaining, 1 << 20) if remaining is not None else 1 << 20
+        buf = r.read(want)
         if buf.size == 0:
             break
         w.write(buf)
-        remaining -= buf.size
+        if remaining is not None:
+            remaining -= buf.size
     w.finalize()
     r.close()
     return out_path

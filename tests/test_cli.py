@@ -144,3 +144,49 @@ def test_flac_resample(ref_data, tmp_path):
     si = meta.read_info(out)
     assert si.sample_rate == 22050
     assert verify(out) == Verified.MD5_MATCH
+
+
+def test_wav_valid_bits_in_wider_container(tmp_path):
+    """24 valid bits in 32-bit containers (common DAW output) and 20-bit
+    MSB-justified layouts must read back the true sample values."""
+    import struct
+
+    import numpy as np
+
+    from flac_codec_tpu.utils.wav import (read_wave_data, read_wave_header,
+                                          write_wave, pcm_to_wave_bytes,
+                                          WaveSpec, _PCM_GUID,
+                                          WAVE_FORMAT_EXTENSIBLE)
+
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-(1 << 23), 1 << 23, 64).astype(np.int64)
+
+    # hand-build a 24-in-32 extensible WAV
+    container_bytes = b"".join(
+        struct.pack("<i", int(v) << 8) for v in vals)  # MSB-justified
+    fmt = struct.pack("<HHIIHH", WAVE_FORMAT_EXTENSIBLE, 1, 48000,
+                      48000 * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 24, 0x4) + _PCM_GUID
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8
+                                 + len(container_bytes)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(container_bytes))
+           + container_bytes)
+    import io
+    fp = io.BytesIO(wav)
+    spec = read_wave_header(fp)
+    assert spec.bits_per_sample == 24 and spec.container_bits == 32
+    got = np.concatenate(list(read_wave_data(fp, spec)))
+    np.testing.assert_array_equal(got, vals)
+
+    # 20-bit write/read roundtrip through our own writer (MSB-justified
+    # in 24-bit containers)
+    vals20 = rng.integers(-(1 << 19), 1 << 19, 48).astype(np.int64)
+    buf = io.BytesIO()
+    write_wave(buf, 44100, 1, 20, len(vals20))
+    buf.write(pcm_to_wave_bytes(vals20, 20))
+    buf.seek(0)
+    spec = read_wave_header(buf)
+    assert spec.bits_per_sample == 20 and spec.container_bits == 24
+    got = np.concatenate(list(read_wave_data(buf, spec)))
+    np.testing.assert_array_equal(got, vals20)

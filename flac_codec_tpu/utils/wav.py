@@ -145,7 +145,10 @@ def write_wave(fp: BinaryIO, sample_rate: int, channels: int,
         fmt = struct.pack("<HHIIHH", WAVE_FORMAT_PCM, channels, sample_rate,
                           byte_rate, align, bits_per_sample)
 
-    riff_size = 4 + (8 + len(fmt)) + (8 + data_size) + (data_size % 2)
+    # data is the final chunk; no trailing pad byte is written for odd
+    # sizes (and none is counted — counting an unwritten byte would make
+    # the declared RIFF size wrong the other way)
+    riff_size = 4 + (8 + len(fmt)) + (8 + data_size)
     if riff_size > 0xFFFFFFFF or data_size > 0xFFFFFFFF:
         raise WaveError(
             f"PCM payload of {data_size} bytes exceeds the 4 GiB RIFF "

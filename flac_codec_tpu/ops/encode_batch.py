@@ -73,7 +73,10 @@ def _analyze_channel(x: jnp.ndarray, bps: int, win: jnp.ndarray,
     fixed_bits = jnp.where(fplan["exact_bits"] >= BIG, BIG, fixed_bits)
 
     # ---- LPC candidate ----
-    if max_lpc_order is not None:
+    # host parity: len(channel) <= max_lpc_order raises
+    # InsufficientLpcSamples and yields no LPC candidate at all
+    # (reference: src/encode.rs LpcParameters::best early-out)
+    if max_lpc_order is not None and block_size > max_lpc_order:
         lp = lpc.analyze(xs, win, max_lpc_order, bps_eff, block_size)
         lplan = rice.search(lp["residuals"], lp["order"], block_size,
                             max_partition_order, rice_max)

@@ -35,13 +35,17 @@ def window_array(kind, n: int, dtype) -> jnp.ndarray:
 def autocorrelate(windowed: jnp.ndarray, max_order: int) -> jnp.ndarray:
     """(B, N) -> (B, max_order+1) autocorrelation lags.
 
-    Each lag is a large dot product — rides the MXU via a single batched
-    matmul of the windowed signal against its shifted copies.
+    Each lag is one batched shifted multiply-reduce (VPU); lags are
+    clamped to N-1 like the host's early-exit (zero beyond) so short
+    blocks cannot produce wrap-around slices.
     """
     B, N = windowed.shape
     lags = []
     for j in range(max_order + 1):
-        lags.append((windowed[:, : N - j] * windowed[:, j:]).sum(axis=1))
+        if j >= N:  # host: lags = min(max_order, n-1); rest are zero
+            lags.append(jnp.zeros(B, windowed.dtype))
+        else:
+            lags.append((windowed[:, : N - j] * windowed[:, j:]).sum(axis=1))
     return jnp.stack(lags, axis=1)
 
 

@@ -55,6 +55,9 @@ def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
                             (2 method + 4 order + partitions)
     """
     B, N = res.shape
+    assert N == block_size, (
+        f"residual width {N} != block_size {block_size}: partition "
+        "ranges would silently misalign")
     pos = jnp.arange(N)
     abs_res = jnp.abs(res)
     pos_orders = _partition_orders(block_size, max_partition_order)

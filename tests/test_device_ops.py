@@ -293,3 +293,26 @@ def test_batch_pipeline_unknown_total():
     be.write(inter)
     be.finalize()
     assert b1.getvalue() == b2.getvalue()
+
+
+def test_batch_pipeline_tiny_blocks_vs_lpc_order():
+    """block_size <= max_lpc_order: the host raises
+    InsufficientLpcSamples internally and emits no LPC candidate; the
+    device pipeline must mirror that (and not crash on lag > N)."""
+    rng = np.random.default_rng(41)
+    for bs, order in ((16, 32), (32, 32), (32, 16)):
+        n = bs * 6
+        t = np.arange(n)
+        sig = (400 * np.sin(t * 0.2) + rng.integers(-40, 40, n))
+        inter = np.stack([sig, np.roll(sig, 3)]).T.reshape(-1).astype(np.int32)
+        opts = Options(block_size=bs, max_lpc_order=order)
+        b1 = io.BytesIO()
+        w = FlacSampleWriter(b1, opts, 44100, 16, 2, total_samples=n)
+        w.write(inter)
+        w.finalize()
+        b2 = io.BytesIO()
+        be = BatchEncoder(b2, opts, 44100, 16, 2, total_samples=n,
+                          batch_frames=3, analysis="f64")
+        be.write(inter)
+        be.finalize()
+        assert b1.getvalue() == b2.getvalue(), f"mismatch bs={bs} order={order}"

@@ -710,9 +710,19 @@ class FlacSampleWriter:
     def __exit__(self, exc_type, *exc):
         if exc_type is None:
             self.finalize()
-        elif self._owns_fp:
-            # error path: skip finalize but don't leak the descriptor
-            self.encoder.fp.close()
+            return
+        # Error path: mirror the reference's finalize-on-Drop
+        # (src/encode.rs:399-405, 2113-2117) so an interrupted encode
+        # still leaves valid STREAMINFO/SEEKTABLE, without masking the
+        # in-flight exception.
+        try:
+            self.finalize()
+        except Exception:
+            if self._owns_fp:
+                try:
+                    self.encoder.fp.close()
+                except Exception:
+                    pass
 
 
 class FlacChannelWriter:
@@ -762,9 +772,17 @@ class FlacChannelWriter:
     def __exit__(self, exc_type, *exc):
         if exc_type is None:
             self.finalize()
-        elif self._owns_fp:
-            # error path: skip finalize but don't leak the descriptor
-            self.encoder.fp.close()
+            return
+        # Error path: finalize-on-Drop mirror (src/encode.rs:2113-2117);
+        # never mask the in-flight exception.
+        try:
+            self.finalize()
+        except Exception:
+            if self._owns_fp:
+                try:
+                    self.encoder.fp.close()
+                except Exception:
+                    pass
 
 
 class FlacByteWriter:
@@ -818,9 +836,15 @@ class FlacByteWriter:
     def __exit__(self, exc_type, *exc):
         if exc_type is None:
             self.finalize()
-        elif self._owns_fp:
-            # error path: skip finalize but don't leak the descriptor
-            self.encoder.fp.close()
+            return
+        # Error path: drop the partial trailing sample bytes (finalize
+        # would reject them) and delegate to the inner writer's
+        # finalize-on-Drop mirror.  Regression guard: this previously
+        # referenced self._owns_fp / self.encoder, which only exist on
+        # the inner FlacSampleWriter, raising AttributeError and masking
+        # the in-flight exception.
+        self._pending = b""
+        self._inner.__exit__(exc_type, *exc)
 
 
 class FlacStreamWriter:

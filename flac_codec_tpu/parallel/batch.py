@@ -448,3 +448,15 @@ class BatchEncoder:
     def __exit__(self, exc_type, *exc):
         if exc_type is None:
             self.finalize()
+            return
+        # Error path: finalize-on-Drop mirror (src/encode.rs:2113-2117) —
+        # drain what we can so the file keeps valid metadata, close the
+        # owned descriptor on failure, never mask the in-flight exception.
+        try:
+            self.finalize()
+        except Exception:
+            if self._owns_fp:
+                try:
+                    self.encoder.fp.close()
+                except Exception:
+                    pass

@@ -133,7 +133,7 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
 
     nat = native.load()
     if nat is None:
-        return None, None
+        return None, None, None
     n = int(44100 * seconds)
     n -= n % opts.block_size
     inter = make_audio(n, seed=3)
@@ -145,14 +145,31 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
     pcm_mb = n * 4 / 1e6
     d = Decoder(io.BytesIO(buf.getvalue()))
     view, start = d.r.np_view(), d.r.pos
+    outbuf = np.empty(n * 2, dtype=np.int32)  # reused across calls
     best = None
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         out, sizes, end, err = nat.decode_frames(
-            view, start, 10 ** 6, 44100, 2, 16, opts.block_size, n)
+            view, start, 10 ** 6, 44100, 2, 16, opts.block_size, n,
+            nthreads=1, out=outbuf)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     host_rate = pcm_mb / best
+    # thread-scaling sweep (speculative frame-parallel decoder); flat on a
+    # 1-core host, near-linear on production hosts
+    sweep = {}
+    ncores = os.cpu_count() or 1
+    for nt in (1, 2, 4, 8, 16):
+        if nt > max(2 * ncores, 2):
+            break
+        best_nt = None
+        for _ in range(3):
+            t0 = time.time()
+            nat.decode_frames(view, start, 10 ** 6, 44100, 2, 16,
+                              opts.block_size, n, nthreads=nt, out=outbuf)
+            dt = time.time() - t0
+            best_nt = dt if best_nt is None else min(best_nt, dt)
+        sweep[str(nt)] = round(pcm_mb / best_nt, 1)
 
     # device inverse-LPC step on resident data (decode-to-device path)
     B, N = 512, opts.block_size
@@ -178,7 +195,7 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
         jax.block_until_ready(out)
         dt = (time.time() - t0) / 8
         best = dt if best is None else min(best, dt)
-    return host_rate, mb / best
+    return host_rate, mb / best, sweep
 
 
 def main() -> None:
@@ -200,10 +217,10 @@ def main() -> None:
         except Exception:
             e2e = None
 
-    dec_host = dec_dev = None
+    dec_host = dec_dev = dec_sweep = None
     if os.environ.get("FLAC_TPU_BENCH_DECODE", "1") != "0":
         try:
-            dec_host, dec_dev = decode_mbps(opts)
+            dec_host, dec_dev, dec_sweep = decode_mbps(opts)
         except Exception:
             pass
 
@@ -224,6 +241,8 @@ def main() -> None:
         out["decode_host_mbps_per_core"] = round(dec_host, 1)
     if dec_dev is not None:
         out["decode_device_step_mbps"] = round(dec_dev, 1)
+    if dec_sweep is not None:
+        out["decode_mbps_by_threads"] = dec_sweep
     print(json.dumps(out))
 
 

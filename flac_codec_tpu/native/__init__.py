@@ -71,6 +71,9 @@ class Native:
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint64,
             i32p, u32p, ctypes.POINTER(ctypes.c_uint64), u32p]
+        lib.nat_decode_frames_mt.restype = ctypes.c_int64
+        lib.nat_decode_frames_mt.argtypes = (
+            list(lib.nat_decode_frames.argtypes) + [ctypes.c_uint32])
         lib.nat_assemble_batch.restype = ctypes.c_int64
         lib.nat_assemble_batch.argtypes = [
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
@@ -249,22 +252,41 @@ class Native:
 
     def decode_frames(self, buf: np.ndarray, start_bitpos: int,
                       n_frames: int, sample_rate: int, channels: int,
-                      bps: int, max_block: int, remaining_samples):
+                      bps: int, max_block: int, remaining_samples,
+                      nthreads: int = 0, out: np.ndarray = None):
         """Decode up to n_frames; returns (interleaved int32 array,
-        block_sizes, end_bitpos, error_code)."""
-        out = np.empty(n_frames * max_block * channels, dtype=np.int32)
+        block_sizes, end_bitpos, error_code).  nthreads > 1 engages the
+        speculative frame-parallel decoder (identical semantics: any
+        inconsistency falls back to the sequential path in C); 0 = use
+        all cores, 1 = sequential.  Pass a preallocated int32 ``out`` to
+        skip the per-call allocation (pipelines reuse one buffer)."""
+        import os
+
+        cap = n_frames * max_block
+        if remaining_samples is not None:
+            # frames cover at most remaining_samples; cap the output
+            # allocation (and frame count) so huge n_frames requests do
+            # not fault in pages that are never written
+            cap = min(cap, remaining_samples)
+            n_frames = min(n_frames, remaining_samples // 16 + 2)
+        if out is None:
+            out = np.empty(cap * channels, dtype=np.int32)
+        else:
+            assert out.dtype == np.int32 and len(out) >= cap * channels
         sizes = np.zeros(n_frames, dtype=np.uint32)
         end = ctypes.c_uint64(0)
         err = np.zeros(1, dtype=np.uint32)
         rem = (1 << 64) - 1 if remaining_samples is None else remaining_samples
-        n = self._lib.nat_decode_frames(
+        if nthreads == 0:
+            nthreads = min(16, os.cpu_count() or 1)
+        n = self._lib.nat_decode_frames_mt(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
             start_bitpos, n_frames, sample_rate, channels, bps, max_block,
             rem,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.byref(end),
-            err.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+            err.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), nthreads)
         total = int(sizes[:n].sum()) * channels
         return out[:total], sizes[:n], int(end.value), int(err[0])
 

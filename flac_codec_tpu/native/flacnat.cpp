@@ -22,6 +22,9 @@ extern "C" {
 
 static uint8_t CRC8_TABLE[256];
 static uint16_t CRC16_TABLE[256];
+// slice-by-8: CRC16_T[k][v] = CRC-16 of byte v followed by k zero bytes,
+// letting the hot loop fold 8 input bytes per step with independent loads
+static uint16_t CRC16_T[8][256];
 static bool tables_ready = false;
 
 static void init_tables() {
@@ -35,6 +38,11 @@ static void init_tables() {
             c16 = (c16 & 0x8000) ? ((c16 << 1) ^ 0x8005) & 0xFFFF : (c16 << 1) & 0xFFFF;
         CRC16_TABLE[i] = (uint16_t)c16;
     }
+    for (int v = 0; v < 256; v++) CRC16_T[0][v] = CRC16_TABLE[v];
+    for (int k = 1; k < 8; k++)
+        for (int v = 0; v < 256; v++)
+            CRC16_T[k][v] = (uint16_t)((CRC16_T[k - 1][v] << 8)
+                                       ^ CRC16_TABLE[CRC16_T[k - 1][v] >> 8]);
     tables_ready = true;
 }
 
@@ -51,6 +59,15 @@ uint32_t nat_crc8(const uint8_t* data, size_t n, uint32_t crc) {
 
 uint32_t nat_crc16(const uint8_t* data, size_t n, uint32_t crc) {
     if (!tables_ready) init_tables();
+    while (n >= 8) {
+        crc = (uint32_t)(CRC16_T[7][data[0] ^ ((crc >> 8) & 0xFF)]
+                         ^ CRC16_T[6][data[1] ^ (crc & 0xFF)]
+                         ^ CRC16_T[5][data[2]] ^ CRC16_T[4][data[3]]
+                         ^ CRC16_T[3][data[4]] ^ CRC16_T[2][data[5]]
+                         ^ CRC16_T[1][data[6]] ^ CRC16_T[0][data[7]]);
+        data += 8;
+        n -= 8;
+    }
     for (size_t i = 0; i < n; i++)
         crc = (uint32_t)CRC16_TABLE[((crc >> 8) ^ data[i]) & 0xFF] ^ ((crc << 8) & 0xFFFF);
     return crc;
@@ -271,6 +288,7 @@ int32_t nat_lpc_residuals(const int64_t* x, size_t n, const int32_t* q,
 #include <thread>
 #include <vector>
 #include <algorithm>
+#include <type_traits>
 
 namespace {
 
@@ -586,65 +604,191 @@ int64_t nat_assemble_batch(
 
 namespace {
 
-struct BitGet {
+// Cached-window bit reader for the frame-decode hot path.  Keeps up to 64
+// unconsumed bits left-aligned in `window` (bits below `avail` are zero),
+// so field extraction is a shift instead of a per-byte loop; the whole
+// Rice unary+LSB code usually rides a single window
+// (reference hot loops: src/decode.rs:1800-1856).
+struct FastBits {
     const uint8_t* buf;
-    uint64_t bitpos;
-    uint64_t limit;  // total bits available
+    uint64_t nbytes;
+    uint64_t limit;      // total bits
+    uint64_t next_byte;  // next byte index to feed into the window
+    uint64_t window;     // unconsumed bits, MSB-first, left-aligned
+    uint32_t avail;      // number of valid bits in window
 
-    bool fits(uint64_t n) const { return bitpos + n <= limit; }
-
-    inline uint32_t get(uint32_t nbits) {  // nbits <= 32
-        uint32_t v = 0;
-        uint32_t got = 0;
-        while (got < nbits) {
-            uint64_t byte = bitpos >> 3;
-            uint32_t bib = (uint32_t)(bitpos & 7);
-            uint32_t room = 8 - bib;
-            uint32_t take = (nbits - got) < room ? (nbits - got) : room;
-            uint8_t chunk = (uint8_t)((buf[byte] >> (room - take)) & ((1u << take) - 1));
-            v = (v << take) | chunk;
-            bitpos += take;
-            got += take;
+    void init(const uint8_t* b, uint64_t nb, uint64_t bitpos) {
+        buf = b;
+        nbytes = nb;
+        limit = nb * 8;
+        set_pos(bitpos);
+    }
+    inline uint64_t pos() const { return next_byte * 8 - avail; }
+    void set_pos(uint64_t bitpos) {
+        next_byte = bitpos >> 3;
+        window = 0;
+        avail = 0;
+        uint32_t sub = (uint32_t)(bitpos & 7);
+        if (sub) {
+            refill();
+            consume(sub <= avail ? sub : avail);
         }
+    }
+    inline bool fits(uint64_t n) const { return pos() + n <= limit; }
+    inline void consume(uint32_t n) {
+        window <<= n;
+        avail -= n;
+    }
+    inline void refill() {
+        if (avail > 56) return;
+        if (next_byte + 8 <= nbytes) {
+            uint64_t w;
+            memcpy(&w, buf + next_byte, 8);
+            w = __builtin_bswap64(w);
+            uint32_t addbytes = (64 - avail) >> 3;
+            uint32_t newavail = avail + addbytes * 8;
+            window |= w >> avail;
+            if (newavail < 64)  // zero the partial-byte pollution below
+                window &= ~((~0ull) >> newavail);
+            next_byte += addbytes;
+            avail = newavail;
+        } else {
+            while (avail <= 56 && next_byte < nbytes) {
+                window |= (uint64_t)buf[next_byte++] << (56 - avail);
+                avail += 8;
+            }
+        }
+    }
+    inline uint32_t get(uint32_t nbits) {  // 1..32; caller checked fits()
+        refill();
+        uint32_t v = (uint32_t)(window >> (64 - nbits));
+        consume(nbits);
         return v;
     }
-    inline int64_t get_signed(uint32_t nbits) {
-        uint64_t v = 0;
-        for (uint32_t got = 0; got < nbits;) {
-            uint64_t byte = bitpos >> 3;
-            uint32_t bib = (uint32_t)(bitpos & 7);
-            uint32_t room = 8 - bib;
-            uint32_t take = (nbits - got) < room ? (nbits - got) : room;
-            uint8_t chunk = (uint8_t)((buf[byte] >> (room - take)) & ((1u << take) - 1));
-            v = (v << take) | chunk;
-            bitpos += take;
-            got += take;
-        }
-        if (nbits < 64 && (v & ((uint64_t)1 << (nbits - 1))))
-            v |= ~((((uint64_t)1) << nbits) - 1);
-        return (int64_t)v;
+    inline int64_t get_signed(uint32_t nbits) {  // 1..57
+        refill();
+        int64_t v = ((int64_t)window) >> (64 - nbits);  // arithmetic: sign-extends
+        consume(nbits);
+        return v;
     }
     inline uint32_t get_unary() {
         uint32_t q = 0;
         for (;;) {
-            if (bitpos >= limit) return q;  // caller checks fits()
-            uint64_t byte = bitpos >> 3;
-            uint32_t bib = (uint32_t)(bitpos & 7);
-            uint8_t cur = (uint8_t)(buf[byte] << bib);
-            if (cur == 0) {
-                q += 8 - bib;
-                bitpos += 8 - bib;
-                if (bitpos >= limit) return q;  // caller checks fits()
-            } else {
-                uint32_t lz = (uint32_t)__builtin_clz((uint32_t)cur) - 24u;
-                q += lz;
-                bitpos += lz + 1;
-                return q;
+            refill();
+            if (avail == 0) return q;  // EOF; callers check fits()
+            uint32_t lz = window ? (uint32_t)__builtin_clzll(window) : 64;
+            if (lz < avail) {
+                consume(lz + 1);
+                return q + lz;
             }
+            q += avail;
+            consume(avail);
         }
     }
-    inline void align() { bitpos = (bitpos + 7) & ~7ull; }
+    inline void align() {
+        uint32_t r = (uint32_t)(pos() & 7);
+        if (r) consume((8 - r) <= avail ? (8 - r) : avail);
+    }
 };
+
+// Bulk Rice decode with the bit window held in a register across symbols:
+// the per-symbol dependency chain is shift+clz+add, with one 8-byte reload
+// every ~3 codes.  Decodes up to m residuals; returns the count actually
+// decoded (stops near the buffer end or on a >56-bit code — the caller
+// finishes with the checked slow path).  `bitpos` is advanced in place.
+template <typename ST>
+static inline uint32_t rice_bulk(const uint8_t* buf, uint64_t nbytes,
+                                 uint64_t& bitpos, ST* out, uint32_t m,
+                                 uint32_t k) {
+    if (nbytes < 8) return 0;
+    const uint8_t* const endp = buf + nbytes - 8;   // last valid 8-byte load
+    const uint8_t* ptr = buf + (bitpos >> 3);
+    uint32_t off = (uint32_t)(bitpos & 7);          // consumed bits in window
+    const uint64_t mask = ((uint64_t)1 << k) - 1;
+    uint64_t w;
+    uint32_t i = 0;
+    if (ptr > endp) return 0;
+    memcpy(&w, ptr, 8);
+    w = __builtin_bswap64(w);
+    while (i < m) {
+        uint64_t cur = w << off;                    // valid bits: 64 - off
+        uint32_t lz = cur ? (uint32_t)__builtin_clzll(cur) : 64;
+        uint32_t len = lz + 1 + k;
+        if (len + off >= 64) {
+            ptr += off >> 3;
+            off &= 7;
+            if (ptr > endp) break;
+            memcpy(&w, ptr, 8);
+            w = __builtin_bswap64(w);
+            cur = w << off;
+            lz = cur ? (uint32_t)__builtin_clzll(cur) : 64;
+            len = lz + 1 + k;
+            if (len + off >= 64) break;             // over-long: slow path
+        }
+        uint64_t u = ((uint64_t)lz << k) | ((cur >> (63 - lz - k)) & mask);
+        // branchless zigzag: (u>>1) ^ -(u&1)
+        out[i++] = (ST)((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+        off += len;
+    }
+    bitpos = (((uint64_t)(ptr - buf)) << 3) + off;
+    return i;
+}
+
+// Order-specialized inverse predictor: x[i] += (sum q[j]*x[i-1-j]) >> shift
+// (reference: src/decode.rs:1738-1752).  The recent-history window rides a
+// register shift-chain so the loop-carried dependency is mul+add+shift, not
+// a store-to-load round trip; ST is int32 for bps <= 24 streams (half the
+// L1 traffic) and int64 for the wide paths.
+template <int ORDER, typename ST>
+static void predict_fix(ST* __restrict x, uint32_t n,
+                        const int64_t* __restrict qc, uint32_t shift) {
+    // software-pipelined: the j>=1 tap sum for step i+1 only needs
+    // x[i-1..], so it overlaps the critical q0*x[i-1] chain of step i
+    int64_t q0 = qc[0];
+    int64_t q[ORDER > 1 ? ORDER : 2];
+    for (int j = 1; j < ORDER; j++) q[j] = qc[j];
+    int64_t rest = 0;
+    for (int j = 1; j < ORDER; j++) rest += q[j] * (int64_t)x[ORDER - 1 - j];
+    for (uint32_t i = ORDER; i < n; i++) {
+        int64_t xm1 = x[i - 1];
+        int64_t v = (int64_t)x[i] + ((q0 * xm1 + rest) >> shift);
+        int64_t r = ORDER > 1 ? q[1] * xm1 : 0;
+        for (int j = 2; j < ORDER; j++) r += q[j] * (int64_t)x[i - j];
+        rest = r;
+        x[i] = (ST)v;
+    }
+}
+
+template <typename ST>
+static void predict_any(ST* x, uint32_t n, const int64_t* q,
+                        uint32_t order, uint32_t shift) {
+    switch (order) {
+        case 0: return;
+        case 1: return predict_fix<1>(x, n, q, shift);
+        case 2: return predict_fix<2>(x, n, q, shift);
+        case 3: return predict_fix<3>(x, n, q, shift);
+        case 4: return predict_fix<4>(x, n, q, shift);
+        case 5: return predict_fix<5>(x, n, q, shift);
+        case 6: return predict_fix<6>(x, n, q, shift);
+        case 7: return predict_fix<7>(x, n, q, shift);
+        case 8: return predict_fix<8>(x, n, q, shift);
+        case 9: return predict_fix<9>(x, n, q, shift);
+        case 10: return predict_fix<10>(x, n, q, shift);
+        case 11: return predict_fix<11>(x, n, q, shift);
+        case 12: return predict_fix<12>(x, n, q, shift);
+        case 13: return predict_fix<13>(x, n, q, shift);
+        case 14: return predict_fix<14>(x, n, q, shift);
+        case 15: return predict_fix<15>(x, n, q, shift);
+        case 16: return predict_fix<16>(x, n, q, shift);
+        default:
+            for (uint32_t i = order; i < n; i++) {
+                int64_t acc = 0;
+                for (uint32_t j = 0; j < order; j++)
+                    acc += q[j] * (int64_t)x[i - 1 - j];
+                x[i] = (ST)((int64_t)x[i] + (acc >> shift));
+            }
+    }
+}
 
 static const int64_t FIXED_Q[5][4] = {
     {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
@@ -663,7 +807,8 @@ struct RawSubframe {
     uint32_t wasted = 0;
 };
 
-static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
+template <typename ST>
+static int decode_subframe(FastBits& g, uint32_t bps, uint32_t n, ST* ch,
                            RawSubframe* raw = nullptr) {
     if (!g.fits(8)) return DEC_EOF;
     if (g.get(1) != 0) return DEC_SUBHDR;
@@ -679,12 +824,12 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
     uint32_t order;
     if (code == 0) {                       // constant
         if (!g.fits(eff)) return DEC_EOF;
-        int64_t v = g.get_signed(eff);
+        ST v = (ST)g.get_signed(eff);
         for (uint32_t i = 0; i < n; i++) ch[i] = v;
         order = 0xFFFF;                    // no residuals
     } else if (code == 1) {                // verbatim
         if (!g.fits((uint64_t)eff * n)) return DEC_EOF;
-        for (uint32_t i = 0; i < n; i++) ch[i] = g.get_signed(eff);
+        for (uint32_t i = 0; i < n; i++) ch[i] = (ST)g.get_signed(eff);
         order = 0xFFFF;
     } else if (code >= 8 && code <= 12) {
         order = code - 8;
@@ -697,7 +842,7 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
     if (order != 0xFFFF) {
         if (order > n) return DEC_SUBHDR;
         if (!g.fits((uint64_t)eff * order)) return DEC_EOF;
-        for (uint32_t i = 0; i < order; i++) ch[i] = g.get_signed(eff);
+        for (uint32_t i = 0; i < order; i++) ch[i] = (ST)g.get_signed(eff);
 
         int64_t q[32];
         uint32_t qorder = order, shift = 0;
@@ -714,6 +859,7 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
                 q[i] = g.get_signed(precision);
         } else {
             for (uint32_t i = 0; i < 4; i++) q[i] = FIXED_Q[order][i];
+            qorder = order;  // fixed: q rows are zero-padded to 4 taps
         }
 
         // residuals
@@ -743,40 +889,24 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
                 } else {
                     if (!g.fits((uint64_t)width * m)) return DEC_EOF;
                     for (uint32_t i = 0; i < m; i++)
-                        ch[pos + i] = g.get_signed(width);
+                        ch[pos + i] = (ST)g.get_signed(width);
                 }
             } else {
-                for (uint32_t i = 0; i < m; i++) {
-                    uint32_t qq, lsb;
-                    uint64_t u64;
-                    // fast path: one unaligned 64-bit window covers the
-                    // whole unary+LSB code in the common case
-                    uint64_t byte = g.bitpos >> 3;
-                    if (byte + 8 <= g.limit >> 3) {
-                        uint64_t w;
-                        memcpy(&w, g.buf + byte, 8);
-                        w = __builtin_bswap64(w) << (g.bitpos & 7);
-                        uint32_t lz = w ? (uint32_t)__builtin_clzll(w) : 64;
-                        if (lz + 1 + param <= 56) {
-                            qq = lz;
-                            lsb = param
-                                ? (uint32_t)((w >> (64 - (lz + 1 + param)))
-                                             & ((1u << param) - 1))
-                                : 0;
-                            g.bitpos += lz + 1 + param;
-                            u64 = ((uint64_t)qq << param) | lsb;
-                            ch[pos + i] = (u64 & 1)
-                                ? -((int64_t)(u64 >> 1)) - 1
-                                : (int64_t)(u64 >> 1);
-                            continue;
-                        }
-                    }
-                    qq = g.get_unary();
-                    if (!g.fits(param + 1)) return DEC_EOF;
-                    lsb = param ? g.get(param) : 0;
-                    u64 = ((uint64_t)qq << param) | lsb;
-                    ch[pos + i] = (u64 & 1) ? -((int64_t)(u64 >> 1)) - 1
-                                            : (int64_t)(u64 >> 1);
+                uint64_t bitpos = g.pos();
+                uint32_t done = rice_bulk(g.buf, g.nbytes, bitpos,
+                                          ch + pos, m, param);
+                g.set_pos(bitpos);
+                // tail (near buffer end / over-long codes): checked path
+                for (uint32_t i = done; i < m; i++) {
+                    uint64_t before = g.pos();
+                    uint32_t qq = g.get_unary();
+                    // terminating 1 consumed iff pos advanced qq+1
+                    if (g.pos() != before + qq + 1) return DEC_EOF;
+                    if (!g.fits(param)) return DEC_EOF;
+                    uint32_t lsb = param ? g.get(param) : 0;
+                    uint64_t u64 = ((uint64_t)qq << param) | lsb;
+                    ch[pos + i] = (ST)((u64 & 1) ? -((int64_t)(u64 >> 1)) - 1
+                                                   : (int64_t)(u64 >> 1));
                 }
             }
             pos += m;
@@ -787,20 +917,16 @@ static int decode_subframe(BitGet& g, uint32_t bps, uint32_t n, int64_t* ch,
             raw->shift = shift;
             for (uint32_t j = 0; j < qorder && j < 32; j++) raw->q[j] = q[j];
         } else {
-            // predictor
-            for (uint32_t i = order; i < n; i++) {
-                int64_t acc = 0;
-                for (uint32_t j = 0; j < qorder && j < 32; j++)
-                    acc += q[j] * ch[i - 1 - j];
-                ch[i] += acc >> shift;
-            }
+            predict_any(ch, n, q, qorder, shift);
         }
     }
 
     if (raw) {
         raw->wasted = wasted;
     } else if (wasted) {
-        for (uint32_t i = 0; i < n; i++) ch[i] <<= wasted;
+        typedef typename std::make_unsigned<ST>::type UST;
+        for (uint32_t i = 0; i < n; i++)
+            ch[i] = (ST)((UST)ch[i] << wasted);
     }
     return DEC_OK;
 }
@@ -815,7 +941,7 @@ struct FrameHdr {
 // byte-aligned position the caller recorded before calling.  streaminfo
 // context supplies the escape values.  Returns DEC_OK or a DEC_* code; the
 // caller decides whether to rewind.
-static int parse_frame_header(BitGet& g, const uint8_t* buf,
+static int parse_frame_header(FastBits& g, const uint8_t* buf,
                               uint64_t frame_start_byte,
                               uint32_t streaminfo_rate,
                               uint32_t streaminfo_bps, FrameHdr* hdr) {
@@ -866,12 +992,78 @@ static int parse_frame_header(BitGet& g, const uint8_t* buf,
     hdr->ch_count = ca <= 7 ? ca + 1 : 2;
     if (ca > 10) return DEC_HDR;
     // CRC-8 over the header bytes
-    uint64_t crc_byte = g.bitpos >> 3;
+    uint64_t crc_byte = g.pos() >> 3;
     if (!g.fits(8)) return DEC_EOF;
     uint32_t expected = g.get(8);
     if (nat_crc8(buf + frame_start_byte, crc_byte - frame_start_byte, 0)
         != expected)
         return DEC_CRC8;
+    return DEC_OK;
+}
+
+// Subframes + CRC-16 + inverse decorrelation + interleave for one frame.
+// ST = int32 covers bps <= 24 (mid/side headroom included); the int64
+// instantiation handles the wide paths (reference wide-side handling:
+// src/decode.rs:1586-1625).
+template <typename ST>
+static int decode_frame_body(FastBits& g, const uint8_t* buf,
+                             uint64_t frame_start_byte, uint32_t block_size,
+                             uint32_t fbps, uint32_t ch_count, uint32_t ca,
+                             int32_t* out_ptr) {
+    static thread_local std::vector<ST> chbuf;
+    if (chbuf.size() < (size_t)ch_count * block_size)
+        chbuf.resize((size_t)ch_count * block_size);
+    int rc = DEC_OK;
+    for (uint32_t c = 0; c < ch_count && rc == DEC_OK; c++) {
+        uint32_t sub_bps = fbps;
+        if ((ca == 8 && c == 1) || (ca == 9 && c == 0) || (ca == 10 && c == 1))
+            sub_bps += 1;
+        rc = decode_subframe(g, sub_bps, block_size,
+                             chbuf.data() + (size_t)c * block_size);
+    }
+    if (rc != DEC_OK) return rc;
+
+    g.align();
+    {
+        uint64_t crc_byte = g.pos() >> 3;
+        if (!g.fits(16)) return DEC_EOF;
+        uint32_t expected = g.get(16);
+        uint32_t actual = nat_crc16(buf + frame_start_byte,
+                                    crc_byte - frame_start_byte, 0);
+        if (actual != expected) return DEC_CRC16;
+    }
+
+    // inverse decorrelation fused with the interleave into one pass
+    // (reference decorrelation: src/decode.rs:1512-1625)
+    ST* __restrict c0 = chbuf.data();
+    ST* __restrict c1 = chbuf.data() + block_size;
+    if (ca == 8) {          // left-side
+        for (uint32_t i = 0; i < block_size; i++) {
+            out_ptr[2 * i] = (int32_t)c0[i];
+            out_ptr[2 * i + 1] = (int32_t)(c0[i] - c1[i]);
+        }
+    } else if (ca == 9) {   // side-right
+        for (uint32_t i = 0; i < block_size; i++) {
+            out_ptr[2 * i] = (int32_t)(c0[i] + c1[i]);
+            out_ptr[2 * i + 1] = (int32_t)c1[i];
+        }
+    } else if (ca == 10) {  // mid-side
+        for (uint32_t i = 0; i < block_size; i++) {
+            ST side = c1[i];
+            ST sum = (ST)(c0[i] * 2 + (side & 1));
+            out_ptr[2 * i] = (int32_t)((sum + side) >> 1);
+            out_ptr[2 * i + 1] = (int32_t)((sum - side) >> 1);
+        }
+    } else if (ch_count == 2) {
+        for (uint32_t i = 0; i < block_size; i++) {
+            out_ptr[2 * i] = (int32_t)c0[i];
+            out_ptr[2 * i + 1] = (int32_t)c1[i];
+        }
+    } else {
+        for (uint32_t i = 0; i < block_size; i++)
+            for (uint32_t c = 0; c < ch_count; c++)
+                *out_ptr++ = (int32_t)chbuf[(size_t)c * block_size + i];
+    }
     return DEC_OK;
 }
 
@@ -889,16 +1081,16 @@ int64_t nat_decode_frames(
     int32_t* out, uint32_t* block_sizes, uint64_t* end_bitpos,
     uint32_t* error) {
     if (!tables_ready) init_tables();
-    BitGet g{buf, start_bitpos, buf_bytes * 8};
-    static thread_local std::vector<int64_t> chbuf;
+    FastBits g;
+    g.init(buf, buf_bytes, start_bitpos);
     *error = DEC_OK;
 
     int64_t decoded = 0;
     int32_t* out_ptr = out;
-    uint64_t frame_start_byte = g.bitpos >> 3;
+    uint64_t frame_start_byte = g.pos() >> 3;
     for (uint32_t f = 0; f < n_frames; f++) {
         g.align();
-        frame_start_byte = g.bitpos >> 3;
+        frame_start_byte = g.pos() >> 3;
         if (remaining_samples != ~0ull && remaining_samples == 0) {
             *error = DEC_EOF;
             break;
@@ -920,52 +1112,18 @@ int64_t nat_decode_frames(
             && (block_size > remaining_samples
                 || !(block_size == remaining_samples || block_size > 14))) {
             *error = DEC_SHORT_BLOCK;
-            g.bitpos = frame_start_byte * 8;
+            g.set_pos(frame_start_byte * 8);
             break;
         }
 
-        // --- subframes ---
-        if (chbuf.size() < (size_t)ch_count * block_size)
-            chbuf.resize((size_t)ch_count * block_size);
-        int rc = DEC_OK;
-        for (uint32_t c = 0; c < ch_count && rc == DEC_OK; c++) {
-            uint32_t sub_bps = fbps;
-            if ((ca == 8 && c == 1) || (ca == 9 && c == 0)
-                || (ca == 10 && c == 1))
-                sub_bps += 1;
-            rc = decode_subframe(g, sub_bps, block_size,
-                                 chbuf.data() + (size_t)c * block_size);
-        }
+        // --- subframes + CRC + decorrelation + interleave ---
+        int rc = (fbps <= 24)
+            ? decode_frame_body<int32_t>(g, buf, frame_start_byte, block_size,
+                                         fbps, ch_count, ca, out_ptr)
+            : decode_frame_body<int64_t>(g, buf, frame_start_byte, block_size,
+                                         fbps, ch_count, ca, out_ptr);
         if (rc != DEC_OK) { *error = (uint32_t)rc; break; }
-
-        g.align();
-        {
-            uint64_t crc_byte = g.bitpos >> 3;
-            if (!g.fits(16)) { *error = DEC_EOF; break; }
-            uint32_t expected = g.get(16);
-            uint32_t actual = nat_crc16(buf + frame_start_byte,
-                                        crc_byte - frame_start_byte, 0);
-            if (actual != expected) { *error = DEC_CRC16; break; }
-        }
-
-        // --- inverse decorrelation + interleave ---
-        int64_t* c0 = chbuf.data();
-        int64_t* c1 = chbuf.data() + block_size;
-        if (ca == 8) {          // left-side
-            for (uint32_t i = 0; i < block_size; i++) c1[i] = c0[i] - c1[i];
-        } else if (ca == 9) {   // side-right
-            for (uint32_t i = 0; i < block_size; i++) c0[i] = c0[i] + c1[i];
-        } else if (ca == 10) {  // mid-side
-            for (uint32_t i = 0; i < block_size; i++) {
-                int64_t side = c1[i];
-                int64_t sum = c0[i] * 2 + (side & 1);
-                c0[i] = (sum + side) >> 1;
-                c1[i] = (sum - side) >> 1;
-            }
-        }
-        for (uint32_t i = 0; i < block_size; i++)
-            for (uint32_t c = 0; c < ch_count; c++)
-                *out_ptr++ = (int32_t)chbuf[(size_t)c * block_size + i];
+        out_ptr += (size_t)block_size * ch_count;
 
         block_sizes[f] = block_size;
         if (remaining_samples != ~0ull) remaining_samples -= block_size;
@@ -975,9 +1133,188 @@ int64_t nat_decode_frames(
     // scalar reparse raises the precise error for THAT frame instead of
     // silently skipping it (CRC-16 failures used to leave the position
     // past the bad frame)
-    if (*error != DEC_OK) g.bitpos = frame_start_byte * 8;
-    *end_bitpos = g.bitpos;
+    if (*error != DEC_OK) g.set_pos(frame_start_byte * 8);
+    *end_bitpos = g.pos();
     return decoded;
+}
+
+// Multithreaded whole-buffer decode via speculative frame-boundary scan.
+//
+// FLAC frames carry no length field, so frame starts are only known by
+// decoding — sequential by construction.  This decoder breaks the chain
+// speculatively: a serial pre-scan finds every byte position that parses
+// as a valid frame header (15-bit sync + field validation + streaminfo
+// cross-check + CRC-8 — every true frame start qualifies; false positives
+// need a ~2^-30 coincidence), threads then decode candidate spans in
+// parallel, and a reconciliation pass verifies the spans tile the stream
+// exactly.  Any inconsistency (false candidate, short block mid-stream,
+// decode error) falls back to the exact sequential path, so semantics are
+// identical to nat_decode_frames.  This is the TPU-host counterpart of
+// the reference's rayon file parallelism (reference: src/encode.rs:11-17,
+// examples/flac2wav.rs:31-38) applied *within* one stream.
+int64_t nat_decode_frames_mt(
+    const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
+    uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,
+    uint32_t max_block, uint64_t remaining_samples,
+    int32_t* out, uint32_t* block_sizes, uint64_t* end_bitpos,
+    uint32_t* error, uint32_t nthreads) {
+    if (!tables_ready) init_tables();
+    uint64_t start_byte = start_bitpos >> 3;
+    if (nthreads <= 1 || buf_bytes - start_byte < (1u << 18))
+        return nat_decode_frames(buf, buf_bytes, start_bitpos, n_frames,
+                                 sample_rate, channels, bps, max_block,
+                                 remaining_samples, out, block_sizes,
+                                 end_bitpos, error);
+
+    // --- phase A: candidate scan (serial, memchr-driven) ---
+    struct Cand { uint64_t pos; uint32_t block; };
+    std::vector<Cand> cands;
+    cands.reserve((buf_bytes - start_byte) / 1024 + 16);
+    {
+        const uint8_t* p = buf + start_byte;
+        const uint8_t* const end = buf + buf_bytes - 16;
+        while (p <= end && cands.size() < n_frames) {
+            p = (const uint8_t*)memchr(p, 0xFF, end - p + 1);
+            if (!p) break;
+            if ((p[1] & 0xFE) == 0xF8) {
+                FastBits g;
+                g.init(buf, buf_bytes, (uint64_t)(p - buf) * 8);
+                FrameHdr hdr;
+                if (parse_frame_header(g, buf, p - buf, sample_rate, bps,
+                                       &hdr) == DEC_OK
+                    && hdr.block_size <= max_block
+                    && hdr.rate == sample_rate && hdr.ch_count == channels
+                    && hdr.bps == bps)
+                    cands.push_back({(uint64_t)(p - buf), hdr.block_size});
+            }
+            p++;
+        }
+    }
+    bool fallback = cands.empty() || cands[0].pos != start_byte;
+
+    uint64_t total_span_samples = 0;
+    std::vector<uint64_t> sample_off, frame_off;
+    if (!fallback) {
+        // short-block / remaining-samples rules need the sequential path's
+        // exact error surface; screen cheaply here, fall back on any hit
+        sample_off.resize(cands.size());
+        for (size_t j = 0; j < cands.size(); j++) {
+            sample_off[j] = total_span_samples;
+            total_span_samples += cands[j].block;
+            if (cands[j].block <= 14 && j + 1 < cands.size()) fallback = true;
+        }
+        if (remaining_samples != ~0ull) {
+            if (total_span_samples > remaining_samples) fallback = true;
+            // a short (<=14) last block is only legal when it lands
+            // exactly on the declared total (reference ShortBlock rule,
+            // src/decode.rs:1405-1410)
+            if (!cands.empty() && cands.back().block <= 14
+                && total_span_samples != remaining_samples)
+                fallback = true;
+        }
+    }
+
+    if (!fallback && cands.size() >= 4) {
+        uint32_t nt = std::min<uint32_t>(nthreads, (uint32_t)cands.size() / 2);
+        // span boundaries: candidate indices at ~equal byte intervals
+        std::vector<size_t> split(nt + 1);
+        uint64_t span_bytes = (buf_bytes - start_byte) / nt;
+        split[0] = 0;
+        for (uint32_t t = 1; t < nt; t++) {
+            uint64_t target = start_byte + (uint64_t)t * span_bytes;
+            size_t j = split[t - 1];
+            while (j < cands.size() && cands[j].pos < target) j++;
+            split[t] = j;
+        }
+        split[nt] = cands.size();
+
+        std::vector<uint8_t> ok(nt, 0);
+        std::vector<uint64_t> span_end(nt, 0);
+        std::vector<uint32_t> span_err(nt, DEC_OK);
+        std::vector<std::thread> pool;
+        for (uint32_t t = 0; t < nt; t++) {
+            pool.emplace_back([&, t]() {
+                size_t j0 = split[t], j1 = split[t + 1];
+                if (j0 >= j1) { ok[t] = 2; return; }  // empty span: skip
+                FastBits g;
+                g.init(buf, buf_bytes, cands[j0].pos * 8);
+                size_t j = j0;
+                uint64_t limit_pos = j1 < cands.size()
+                    ? cands[j1].pos : ~0ull;
+                bool good = true;
+                while (j < j1) {
+                    uint64_t fs = g.pos() >> 3;
+                    if (fs != cands[j].pos) { good = false; break; }
+                    FrameHdr hdr;
+                    if (parse_frame_header(g, buf, fs, sample_rate, bps,
+                                           &hdr) != DEC_OK) {
+                        good = false; break;
+                    }
+                    int32_t* dst = out + (uint64_t)sample_off[j] * channels;
+                    int rc = (hdr.bps <= 24)
+                        ? decode_frame_body<int32_t>(g, buf, fs,
+                              hdr.block_size, hdr.bps, hdr.ch_count,
+                              hdr.ca, dst)
+                        : decode_frame_body<int64_t>(g, buf, fs,
+                              hdr.block_size, hdr.bps, hdr.ch_count,
+                              hdr.ca, dst);
+                    if (rc != DEC_OK) {
+                        span_err[t] = (uint32_t)rc;
+                        good = false; break;
+                    }
+                    g.align();
+                    block_sizes[j] = hdr.block_size;
+                    j++;
+                    // skip candidates the decoded frame ran past: those
+                    // were false syncs inside frame data -> offsets wrong
+                    if (j < j1 && (g.pos() >> 3) != cands[j].pos) {
+                        good = false; break;
+                    }
+                }
+                uint64_t endp = g.pos() >> 3;
+                span_end[t] = endp;
+                ok[t] = (good && j == j1
+                         && (limit_pos == ~0ull || endp == limit_pos)) ? 1 : 0;
+            });
+        }
+        for (auto& th : pool) th.join();
+        bool all_ok = true;
+        uint64_t last_end = 0;
+        for (uint32_t t = 0; t < nt; t++) {
+            if (ok[t] == 0) all_ok = false;
+            if (ok[t] == 1 && span_end[t] > last_end) last_end = span_end[t];
+        }
+        if (all_ok) {
+            uint64_t tail_rem = remaining_samples == ~0ull
+                ? ~0ull : remaining_samples - total_span_samples;
+            uint32_t tail_frames = n_frames - (uint32_t)cands.size();
+            if (tail_frames == 0) {
+                // frame budget exhausted: sequential loop ends cleanly
+                *error = DEC_OK;
+                *end_bitpos = last_end * 8;
+                return (int64_t)cands.size();
+            }
+            // trailing bytes / remaining-samples bookkeeping: run the
+            // sequential path from the verified end so sync garbage vs
+            // clean EOF is classified exactly like nat_decode_frames
+            int32_t* dst = out + total_span_samples * channels;
+            uint64_t tail_end = 0;
+            uint32_t tail_err = DEC_OK;
+            int64_t extra = nat_decode_frames(
+                buf, buf_bytes, last_end * 8, tail_frames,
+                sample_rate, channels, bps, max_block, tail_rem,
+                dst, block_sizes + cands.size(), &tail_end, &tail_err);
+            *end_bitpos = tail_end;
+            *error = tail_err;
+            return (int64_t)cands.size() + extra;
+        }
+        // fall through to the exact sequential path
+    }
+
+    return nat_decode_frames(buf, buf_bytes, start_bitpos, n_frames,
+                             sample_rate, channels, bps, max_block,
+                             remaining_samples, out, block_sizes,
+                             end_bitpos, error);
 }
 
 }  // extern "C"
@@ -1007,15 +1344,16 @@ int64_t nat_parse_frames_raw(
     uint32_t* out_block,     // (n_frames,)
     uint64_t* end_bitpos, uint32_t* error) {
     if (!tables_ready) init_tables();
-    BitGet g{buf, start_bitpos, buf_bytes * 8};
+    FastBits g;
+    g.init(buf, buf_bytes, start_bitpos);
     static thread_local std::vector<int64_t> chbuf;
     *error = DEC_OK;
 
     int64_t decoded = 0;
-    uint64_t frame_start_byte = g.bitpos >> 3;
+    uint64_t frame_start_byte = g.pos() >> 3;
     for (uint32_t f = 0; f < n_frames; f++) {
         g.align();
-        frame_start_byte = g.bitpos >> 3;
+        frame_start_byte = g.pos() >> 3;
         if (remaining_samples != ~0ull && remaining_samples == 0) {
             *error = DEC_EOF; break;
         }
@@ -1032,21 +1370,21 @@ int64_t nat_parse_frames_raw(
         if (fr_block != block_size) {
             // short (last) frame: leave it to the caller's scalar path
             *error = DEC_SHORT_BLOCK;
-            g.bitpos = frame_start_byte * 8;
+            g.set_pos(frame_start_byte * 8);
             break;
         }
         if (fbps >= 32 && ca >= 8) {
             // 33-bit side channels exceed the int32 device buffers: leave
             // the whole frame to the caller's scalar path (rewind!)
             *error = DEC_PARAMS;
-            g.bitpos = frame_start_byte * 8;
+            g.set_pos(frame_start_byte * 8);
             break;
         }
         if (remaining_samples != ~0ull
             && (fr_block > remaining_samples   // would underflow the count
                 || !(fr_block == remaining_samples || fr_block > 14))) {
             *error = DEC_SHORT_BLOCK;
-            g.bitpos = frame_start_byte * 8;
+            g.set_pos(frame_start_byte * 8);
             break;
         }
 
@@ -1066,7 +1404,7 @@ int64_t nat_parse_frames_raw(
         if (rc != DEC_OK) { *error = (uint32_t)rc; break; }
         g.align();
         {
-            uint64_t crc_byte = g.bitpos >> 3;
+            uint64_t crc_byte = g.pos() >> 3;
             if (!g.fits(16)) { *error = DEC_EOF; break; }
             uint32_t expected = g.get(16);
             if (nat_crc16(buf + frame_start_byte, crc_byte - frame_start_byte,
@@ -1091,7 +1429,7 @@ int64_t nat_parse_frames_raw(
         if (remaining_samples != ~0ull) remaining_samples -= fr_block;
         decoded++;
     }
-    *end_bitpos = g.bitpos;
+    *end_bitpos = g.pos();
     return decoded;
 }
 

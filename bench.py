@@ -31,6 +31,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -171,13 +172,16 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
             best_nt = dt if best_nt is None else min(best_nt, dt)
         sweep[str(nt)] = round(pcm_mb / best_nt, 1)
 
-    # device inverse-LPC step on resident data (decode-to-device path)
+    # device inverse-LPC step on resident data (decode-to-device path);
+    # taps=16 is the bucket the BatchDecoder dispatch picks for LPC-12
+    # preset -8 streams
     B, N = 512, opts.block_size
     rng = np.random.default_rng(0)
     args = (jnp.asarray(rng.integers(-2000, 2000, (B, N)).astype(np.int64)),
             jnp.asarray(np.pad(rng.integers(-5000, 5000, (B, 12)), ((0, 0), (0, 20))).astype(np.int64)),
             jnp.asarray(np.full(B, 12, np.int32)),
             jnp.asarray(np.full(B, 12, np.int32)))
+    predict_batch = partial(predict_batch, taps=16)
     out = predict_batch(*args, N)
     jax.block_until_ready(out)
     # warm the allocator size-class (first-touch cost) with full-size

@@ -25,20 +25,32 @@ import jax.numpy as jnp
 from .. import metadata as meta
 from ..bitio import BitReader
 from ..decode import Decoder
-from ..ops.predict import predict_batch
+from ..ops.predict import (fixed_compatible_mask, predict_batch,
+                           predict_fixed_batch)
 
 
-@partial(jax.jit, static_argnames=("block_size",))
+@partial(jax.jit, static_argnames=("block_size", "mode", "taps"))
 def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
-                        block_size: int):
-    """(B, C, N) raw subframes -> (B, C, N) int32 PCM, all on device."""
+                        block_size: int, mode: str = "scan",
+                        taps: int = 32):
+    """(B, C, N) raw subframes -> (B, C, N) int32 PCM, all on device.
+
+    mode "fixed": every subframe is FIXED-compatible (shift 0, taps equal
+    to a fixed-predictor row) -> exact k-fold-cumsum inverse, no scan.
+    mode "scan": general inverse-LPC scan with `taps` MACs per step.
+    """
     B, C, N = buf.shape
     flat = buf.reshape(B * C, N).astype(jnp.int64)
-    out = predict_batch(flat,
-                        qcoeffs.reshape(B * C, 32).astype(jnp.int64),
-                        shift.reshape(B * C).astype(jnp.int32),
-                        order.reshape(B * C).astype(jnp.int32),
-                        block_size)
+    if mode == "fixed":
+        out = predict_fixed_batch(flat,
+                                  order.reshape(B * C).astype(jnp.int32),
+                                  block_size)
+    else:
+        out = predict_batch(flat,
+                            qcoeffs.reshape(B * C, 32).astype(jnp.int64),
+                            shift.reshape(B * C).astype(jnp.int32),
+                            order.reshape(B * C).astype(jnp.int32),
+                            block_size, taps=taps)
     out = jax.lax.shift_left(out, wasted.reshape(B * C, 1).astype(jnp.int64))
     out = out.reshape(B, C, N)
 
@@ -141,6 +153,19 @@ class BatchDecoder:
 
         args = [raw["buf"], raw["qcoeffs"], raw["shift"], raw["order"],
                 raw["wasted"], raw["assignment"]]
+        # dispatch: all-FIXED batches ride the k-fold-cumsum inverse (no
+        # sequential scan at all); otherwise the scan runs with the
+        # smallest tap bucket covering the batch's max LPC order
+        n, C = raw["order"].shape
+        mask = fixed_compatible_mask(raw["qcoeffs"].reshape(n * C, 32),
+                                     raw["shift"].reshape(n * C),
+                                     raw["order"].reshape(n * C))
+        if mask.all():
+            mode, taps = "fixed", 32
+        else:
+            mode = "scan"
+            max_order = int(raw["order"].max())
+            taps = next(t for t in (4, 8, 16, 32) if t >= max_order)
         batch_axis = (self.mesh.shape[self.mesh.axis_names[0]]
                       if self.mesh is not None else 1)
         if self.mesh is not None and raw["n"] % batch_axis == 0:
@@ -149,7 +174,8 @@ class BatchDecoder:
             args = [shard_batch(self.mesh, a) for a in args]
         else:
             args = [jnp.asarray(a) for a in args]
-        pcm = _device_reconstruct(*args, self.block_size)
+        pcm = _device_reconstruct(*args, self.block_size, mode=mode,
+                                  taps=taps)
         return pcm, raw["blocks"]
 
     def read_batch_interleaved(self):

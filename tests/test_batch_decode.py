@@ -54,3 +54,40 @@ def test_device_decode_sharded_mesh():
     dev = np.asarray(BatchDecoder(buf, batch_frames=16,
                                   mesh=mesh).read_all_device())
     np.testing.assert_array_equal(dev.reshape(-1), inter)
+
+
+def test_fixed_only_stream_cumsum_dispatch():
+    """A no-LPC stream (Options.fast-style) decodes via the all-FIXED
+    cumsum path; PCM identical to the host decoder."""
+    rng = np.random.default_rng(42)
+    bs = 1024
+    n = bs * 6 + 100
+    # smooth signal so fixed predictors genuinely engage (orders 1-4)
+    sig = np.cumsum(rng.integers(-60, 60, n)).astype(np.int32)
+    sig2 = np.cumsum(rng.integers(-60, 60, n)).astype(np.int32)
+    inter = np.stack([sig, sig2]).T.reshape(-1)
+    buf = io.BytesIO()
+    w = FlacSampleWriter(buf, Options(block_size=bs, max_lpc_order=None),
+                         44100, 16, 2, total_samples=n)
+    w.write(inter)
+    w.finalize()
+    host = FlacSampleReader(io.BytesIO(buf.getvalue())).read_all()
+
+    # the dispatch must actually choose the cumsum mode for this stream
+    from flac_codec_tpu.parallel import batch_decode as bd
+
+    seen = []
+    orig = bd._device_reconstruct
+
+    def spy(*args, **kw):
+        seen.append(kw.get("mode"))
+        return orig(*args, **kw)
+
+    buf.seek(0)
+    bd._device_reconstruct, saved = spy, orig
+    try:
+        dev = np.asarray(BatchDecoder(buf, batch_frames=4).read_all_device())
+    finally:
+        bd._device_reconstruct = saved
+    np.testing.assert_array_equal(dev.reshape(-1), host)
+    assert "fixed" in seen, f"cumsum dispatch never engaged: {seen}"

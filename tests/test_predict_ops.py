@@ -57,3 +57,55 @@ def test_predict_batch_fixed_orders():
             jnp.asarray(buf[None, :]), jnp.asarray(q),
             jnp.zeros(1, jnp.int32), jnp.asarray([order], jnp.int32), N)
         np.testing.assert_array_equal(np.asarray(got)[0], signal)
+
+
+def test_predict_fixed_batch_matches_scan():
+    """k-fold-cumsum inverse == the sequential scan for FIXED rows."""
+    from flac_codec_tpu.ops.predict import (FIXED_ROWS, fixed_compatible_mask,
+                                            predict_fixed_batch)
+
+    rng = np.random.default_rng(7)
+    N = 192
+    B = 10
+    orders = np.array([0, 1, 2, 3, 4, 4, 3, 2, 1, 0], dtype=np.int32)
+    x = np.zeros((B, N), dtype=np.int64)
+    q = np.zeros((B, 32), dtype=np.int64)
+    for b, order in enumerate(orders):
+        q[b, :4] = FIXED_ROWS[order]
+        x[b, :order] = rng.integers(-30000, 30000, order)
+        x[b, order:] = rng.integers(-500, 500, N - order)
+    shifts = np.zeros(B, dtype=np.int32)
+    assert fixed_compatible_mask(q, shifts, orders).all()
+    ref = predict_batch(jnp.asarray(x), jnp.asarray(q), jnp.asarray(shifts),
+                        jnp.asarray(orders), N)
+    got = predict_fixed_batch(jnp.asarray(x), jnp.asarray(orders), N)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fixed_compatible_mask_rejects_lpc():
+    from flac_codec_tpu.ops.predict import fixed_compatible_mask
+
+    q = np.zeros((3, 32), dtype=np.int64)
+    q[0, :2] = [2, -1]          # fixed order 2
+    q[1, :2] = [2, -2]          # not a fixed row
+    q[2, :2] = [2, -1]          # fixed taps but nonzero shift
+    mask = fixed_compatible_mask(
+        q, np.array([0, 0, 3]), np.array([2, 2, 2]))
+    assert mask.tolist() == [True, False, False]
+
+
+def test_predict_batch_taps_bucket():
+    """Smaller static tap buckets give identical results."""
+    rng = np.random.default_rng(9)
+    B, N = 4, 256
+    orders = np.array([2, 5, 8, 8], dtype=np.int32)
+    x = rng.integers(-2000, 2000, (B, N)).astype(np.int64)
+    q = np.zeros((B, 32), dtype=np.int64)
+    for b, o in enumerate(orders):
+        q[b, :o] = rng.integers(-2000, 2000, o)
+    shifts = np.full(B, 11, dtype=np.int32)
+    full = predict_batch(jnp.asarray(x), jnp.asarray(q), jnp.asarray(shifts),
+                         jnp.asarray(orders), N)
+    small = predict_batch(jnp.asarray(x), jnp.asarray(q), jnp.asarray(shifts),
+                          jnp.asarray(orders), N, taps=8)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(small))

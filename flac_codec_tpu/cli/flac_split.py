@@ -9,8 +9,8 @@ import concurrent.futures
 import os
 
 from .. import metadata as meta
-from ..decode import FlacSampleReader
-from ..encode import FlacSampleWriter, Options
+from ..decode import FlacByteReader, FlacSampleReader
+from ..encode import FlacByteWriter, FlacSampleWriter, Options
 from ..errors import FlacError
 
 
@@ -41,22 +41,59 @@ def _split_one(path: str, out_dir: str, index: int, start: int, end) -> str:
     return out_path
 
 
+def _split_one_bytes(path: str, out_dir: str, index: int,
+                     start: int, end) -> str:
+    """Byte-range split via Cuesheet.track_byte_ranges + FlacByteReader
+    (reference API: src/metadata/mod.rs:3390-3411)."""
+    r = FlacByteReader.open(path)
+    si = r.streaminfo
+    width = (si.bits_per_sample + 7) // 8
+    if end is None and si.total_samples is not None:
+        end = si.total_samples * si.channels * width
+    r.seek(start)
+    out_path = os.path.join(out_dir, f"track{index:02d}.flac")
+    w = FlacByteWriter(out_path, Options(), si.sample_rate,
+                       si.bits_per_sample, si.channels,
+                       total_bytes=(end - start) if end is not None else None)
+    remaining = (end - start) if end is not None else None
+    while remaining is None or remaining > 0:
+        want = min(remaining, 1 << 20) if remaining is not None else 1 << 20
+        buf = r.read(want)
+        if not buf:
+            break
+        w.write(buf)
+        if remaining is not None:
+            remaining -= len(buf)
+    w.finalize()
+    r.close()
+    return out_path
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="flac-split")
     p.add_argument("input")
     p.add_argument("-d", "--output-dir", default=".")
     p.add_argument("-j", "--jobs", type=int, default=os.cpu_count())
+    p.add_argument("--bytes", action="store_true",
+                   help="split by PCM byte ranges (track_byte_ranges) "
+                        "instead of sample ranges")
     args = p.parse_args(argv)
 
     cs = meta.read_block(args.input, meta.Cuesheet)
     if cs is None:
         raise FlacError("no CUESHEET block in input")
-    ranges = cs.track_sample_ranges()
     os.makedirs(args.output_dir, exist_ok=True)
+    if args.bytes:
+        si = meta.read_info(args.input)
+        ranges = cs.track_byte_ranges(si.channels, si.bits_per_sample)
+        worker = _split_one_bytes
+    else:
+        ranges = cs.track_sample_ranges()
+        worker = _split_one
 
     with concurrent.futures.ProcessPoolExecutor(args.jobs) as ex:
         futures = [
-            ex.submit(_split_one, args.input, args.output_dir, i + 1, s, e)
+            ex.submit(worker, args.input, args.output_dir, i + 1, s, e)
             for i, (s, e) in enumerate(ranges)]
         for f in concurrent.futures.as_completed(futures):
             print(f.result())

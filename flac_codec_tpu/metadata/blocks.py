@@ -158,6 +158,9 @@ class SeekTable:
 
     points: List[SeekPoint] = field(default_factory=list)
     TYPE = SEEKTABLE
+    # as many 18-byte points as fit a 24-bit block length
+    # (reference: src/metadata/mod.rs:1989)
+    MAX_POINTS = (1 << 24) // 18
 
     def to_bytes(self) -> bytes:
         self._validate()
@@ -176,6 +179,9 @@ class SeekTable:
         return table
 
     def _validate(self) -> None:
+        if len(self.points) > self.MAX_POINTS:
+            raise InvalidSeekTable(
+                f"{len(self.points)} seek points exceed MAX_POINTS")
         # ascending sample offsets among non-placeholder points
         prev = -1
         for p in self.points:
@@ -267,6 +273,17 @@ class VorbisComment:
         key = key.upper()
         self.fields = [f for f in self.fields
                        if f.partition("=")[0].upper() != key]
+
+    def replace_with(self, key: str, fn) -> None:
+        """Rewrite every value of ``key`` in place with ``fn(value)``,
+        preserving field order and the original key spelling
+        (reference: src/metadata/mod.rs:2474-2488)."""
+        if "=" in key:
+            raise ValueError("field must not contain '='")
+        for i, f in enumerate(self.fields):
+            k, sep, v = f.partition("=")
+            if sep and k.upper() == key.upper():
+                self.fields[i] = f"{k}={fn(v)}"
 
 
 # Standard field name constants (reference: src/metadata/mod.rs:2547-2601).
@@ -361,6 +378,22 @@ class Picture:
             return cls.new(picture_type, description, fp.read())
 
 
+def _validate_isrc(isrc: bytes) -> None:
+    """All-zero = absent; otherwise 2 alpha + 3 alnum + 7 digits
+    (reference: src/metadata/cuesheet.rs:259-318)."""
+    from ..errors import CuesheetError
+
+    if not any(isrc):
+        return
+    try:
+        s = isrc.decode("ascii")
+    except UnicodeDecodeError:
+        raise CuesheetError("InvalidISRC")
+    if not (len(s) == 12 and s[:2].isalpha() and s[2:5].isalnum()
+            and s[5:].isdigit() and s.isascii()):
+        raise CuesheetError("InvalidISRC")
+
+
 @dataclass
 class Cuesheet:
     """CUESHEET block; binary layout per RFC 9639 §8.7 (reference:
@@ -386,7 +419,12 @@ class Cuesheet:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "Cuesheet":
-        from ..errors import InvalidMetadata
+        """Parse + validate per the reference's typestate rules
+        (src/metadata/mod.rs:3416-3475, cuesheet.rs:1-833): ordered
+        tracks/indices (``Contiguous``), CDDA 588-multiple offsets,
+        exactly-13-digit CDDA catalog, ISRC charset, track-count caps,
+        mandatory INDEX 01, index-free lead-out as the final track."""
+        from ..errors import CuesheetError, InvalidMetadata
 
         try:
             pos = 0
@@ -398,13 +436,74 @@ class Cuesheet:
             for _ in range(ntracks):
                 t, pos = CuesheetTrack.parse(data, pos)
                 tracks.append(t)
-            return cls(catalog, lead_in, is_cdda, tracks)
         except (struct.error, IndexError) as e:
             raise InvalidMetadata(f"truncated CUESHEET block: {e}")
 
+        # catalog number (cuesheet::Digit; CDDA needs exactly 13 digits)
+        trimmed = catalog.rstrip(b"\x00")
+        if trimmed and not trimmed.isdigit():
+            raise CuesheetError("InvalidCatalogNumber")
+        if is_cdda and trimmed and len(trimmed) != 13:
+            raise CuesheetError("InvalidCatalogNumber")
+
+        # track-count envelope (reference: mod.rs:3446-3451)
+        if ntracks == 0:
+            raise CuesheetError("NoTracks")
+        if is_cdda and ntracks - 1 > 99:
+            raise CuesheetError("NoTracks")
+        ordinary, lead_out = tracks[:-1], tracks[-1]
+
+        max_indices = 100 if is_cdda else 256
+        for t in ordinary:
+            if t.number == 0:
+                raise CuesheetError("InvalidIndexPoint")
+            _validate_isrc(t.isrc)
+            if is_cdda and t.offset % 588:
+                raise CuesheetError("InvalidCDDAOffset")
+            if not t.indices:
+                raise CuesheetError("NoIndexPoints")
+            if len(t.indices) > max_indices:
+                raise CuesheetError("IndexPointsOutOfSequence")
+            # Contiguous<Index>: first index at relative offset 0 with
+            # number 0 or 1; then strictly ascending offsets, +1 numbers;
+            # IndexVec: a 00 pre-gap must be followed by INDEX 01
+            off0, num0 = t.indices[0]
+            if off0 != 0 or num0 not in (0, 1):
+                raise CuesheetError("IndexPointsOutOfSequence")
+            if num0 == 0 and (len(t.indices) < 2 or t.indices[1][1] != 1):
+                raise CuesheetError("IndexPointsOutOfSequence")
+            for (po, pn), (o, n) in zip(t.indices, t.indices[1:]):
+                if not (o > po and n == pn + 1):
+                    raise CuesheetError("IndexPointsOutOfSequence")
+            if is_cdda and any(o % 588 for o, _ in t.indices):
+                raise CuesheetError("InvalidCDDAOffset")
+
+        # Contiguous<Track>: first track at offset 0 numbered 1; numbers
+        # ascend by one; offsets pass the previous track's last index
+        if ordinary:
+            if ordinary[0].offset != 0 or ordinary[0].number != 1:
+                raise CuesheetError("TracksOutOfSequence")
+            for prev, t in zip(ordinary, ordinary[1:]):
+                if t.number != prev.number + 1:
+                    raise CuesheetError("TracksOutOfSequence")
+                if t.offset <= prev.indices[-1][0]:
+                    raise CuesheetError("TracksOutOfSequence")
+
+        # lead-out: fixed number, no index points (reference:
+        # cuesheet.rs:528-564)
+        if lead_out.number != (170 if is_cdda else 255):
+            raise CuesheetError("TracksOutOfSequence")
+        _validate_isrc(lead_out.isrc)
+        if lead_out.indices:
+            raise CuesheetError("IndexPointsInLeadout")
+        if is_cdda and lead_out.offset % 588:
+            raise CuesheetError("InvalidCDDAOffset")
+
+        return cls(catalog, lead_in, is_cdda, tracks)
+
     def track_sample_ranges(self) -> List[Tuple[int, Optional[int]]]:
         """(start, end) sample ranges per non-lead-out track (reference:
-        src/metadata/mod.rs:3383-3411)."""
+        src/metadata/mod.rs:3383-3388)."""
         ranges = []
         lo = 170 if self.is_cdda else 255  # non-CDDA allows a track 170
         ordinary = [t for t in self.tracks if t.number != lo]
@@ -419,6 +518,19 @@ class Cuesheet:
                 end = None
             ranges.append((start, end))
         return ranges
+
+    def track_byte_ranges(self, channel_count: int, bits_per_sample: int
+                          ) -> List[Tuple[int, Optional[int]]]:
+        """Track ranges in PCM bytes — ``track_sample_ranges`` scaled by
+        channels x ceil(bps/8); CD-DA uses (2, 16)
+        (reference: src/metadata/mod.rs:3390-3411)."""
+        if channel_count <= 0:
+            raise ValueError("channel_count must be > 0")
+        if bits_per_sample <= 0:
+            raise ValueError("bits_per_sample must be > 0")
+        mult = channel_count * ((bits_per_sample + 7) // 8)
+        return [(s * mult, None if e is None else e * mult)
+                for s, e in self.track_sample_ranges()]
 
 
 @dataclass

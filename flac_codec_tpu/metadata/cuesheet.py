@@ -65,7 +65,7 @@ def parse_cuesheet(text: str, lead_out_offset: Optional[int] = None) -> Cuesheet
     ``REM FLAC__lead-out`` line is present.
     """
     catalog: Optional[str] = None
-    lead_in = 0
+    lead_in: Optional[int] = None
     lead_out: Optional[Tuple[int, int]] = None  # (track number, offset)
     tracks: List[_TrackInProgress] = []
 
@@ -199,17 +199,28 @@ def parse_cuesheet(text: str, lead_out_offset: Optional[int] = None) -> Cuesheet
             indices=[(o - base, n) for o, n in t.indices],
         ))
 
-    # lead-out track
+    # lead-out track; CDDA only when the stream length lands on a CD
+    # frame boundary (reference: src/metadata/mod.rs:3266-3292 parses a
+    # CDDA cuesheet iff total samples is divisible by 588)
     if lead_out is not None:
         lo_number, lo_offset = lead_out
     elif lead_out_offset is not None:
-        lo_number, lo_offset = LEAD_OUT_CDDA, lead_out_offset
+        lo_number = (LEAD_OUT_CDDA if lead_out_offset % 588 == 0
+                     else LEAD_OUT_NON_CDDA)
+        lo_offset = lead_out_offset
     else:
-        lo_number, lo_offset = LEAD_OUT_CDDA, out_tracks[-1].offset
+        lo_offset = out_tracks[-1].offset
+        lo_number = (LEAD_OUT_CDDA if lo_offset % 588 == 0
+                     else LEAD_OUT_NON_CDDA)
     out_tracks.append(CuesheetTrack(
         offset=lo_offset, number=lo_number, isrc=b"\x00" * 12,
         is_audio=True, pre_emphasis=False, indices=[]))
 
+    is_cdda = lo_number != LEAD_OUT_NON_CDDA
+    if lead_in is None:
+        # CD-DA lead-in is typically exactly two seconds
+        # (reference: src/metadata/mod.rs:2845 LEAD_IN = 44100 * 2)
+        lead_in = 88200 if is_cdda else 0
     return Cuesheet(
         catalog=(catalog or "").encode("ascii").ljust(128, b"\x00"),
         lead_in=lead_in,

@@ -135,3 +135,44 @@ def test_seektable_fixture(ref_data):
     assert st is not None and len(st.points) > 0
     offs = [p.sample_offset for p in st.points if not p.is_placeholder]
     assert offs == sorted(offs)
+
+
+def test_vorbis_replace_with():
+    """In-place value rewrite preserving order and key spelling
+    (reference: src/metadata/mod.rs:2474-2488)."""
+    from flac_codec_tpu.metadata import VorbisComment
+
+    vc = VorbisComment("v", ["Title=abc", "ARTIST=x", "title=def", "A=B"])
+    vc.replace_with("TITLE", str.upper)
+    assert vc.fields == ["Title=ABC", "ARTIST=x", "title=DEF", "A=B"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        vc.replace_with("BAD=KEY", str.upper)
+
+
+def test_seektable_max_points_on_read():
+    import struct
+
+    import pytest
+
+    from flac_codec_tpu.errors import InvalidSeekTable
+    from flac_codec_tpu.metadata import SeekTable
+
+    assert SeekTable.MAX_POINTS == (1 << 24) // 18
+    # construct an oversized table in memory (cheap: validate() directly)
+    t = SeekTable([])
+    t.points = [None] * (SeekTable.MAX_POINTS + 1)
+    with pytest.raises(InvalidSeekTable):
+        t._validate()
+    # a small valid table still parses
+    data = struct.pack(">QQH", 0, 0, 4096) + struct.pack(">QQH", 4096, 100, 4096)
+    assert len(SeekTable.from_bytes(data).points) == 2
+
+
+def test_cue_parse_cdda_lead_in_default():
+    from flac_codec_tpu.metadata.cuesheet import parse_cuesheet
+
+    cue = 'FILE "x.flac" FLAC\n  TRACK 01 AUDIO\n    INDEX 01 00:00:00\n'
+    cs = parse_cuesheet(cue, lead_out_offset=588 * 100)
+    assert cs.is_cdda and cs.lead_in == 88200

@@ -134,7 +134,7 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
 
     nat = native.load()
     if nat is None:
-        return None, None, None
+        return None, None, None, None
     n = int(44100 * seconds)
     n -= n % opts.block_size
     inter = make_audio(n, seed=3)
@@ -172,6 +172,48 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
             best_nt = dt if best_nt is None else min(best_nt, dt)
         sweep[str(nt)] = round(pcm_mb / best_nt, 1)
 
+    # host assembler thread-scaling sweep (the production-shaped bound:
+    # plan blobs -> serialized frames; VERDICT r1 item 6)
+    from flac_codec_tpu.ops.encode_batch import (encode_frames_plan_blob,
+                                                 plan_blob_spec,
+                                                 unpack_plan_blob)
+    from flac_codec_tpu.parallel.batch import assemble_frames
+
+    B = 256
+    pcm_a = make_audio(opts.block_size * B).reshape(
+        B, opts.block_size, 2).transpose(0, 2, 1)
+    pcm_a = np.ascontiguousarray(pcm_a)
+    kw = dict(bits_per_sample=16, block_size=opts.block_size,
+              max_lpc_order=opts.max_lpc_order,
+              max_partition_order=opts.max_partition_order,
+              mid_side=opts.mid_side,
+              exhaustive=opts.exhaustive_channel_correlation,
+              analysis="f32", pack_budget=18)
+    dev_in = jnp.asarray(pcm_a.astype(np.int16))
+    blob = np.asarray(encode_frames_plan_blob(dev_in, **kw))
+    spec = plan_blob_spec(dev_in.shape, dev_in.dtype, **kw)
+    plan = unpack_plan_blob(blob, spec)
+    from flac_codec_tpu import metadata as _meta
+
+    si_a = _meta.Streaminfo(minimum_block_size=opts.block_size,
+                    maximum_block_size=opts.block_size, sample_rate=44100,
+                    channels=2, bits_per_sample=16,
+                    total_samples=B * opts.block_size)
+    asm_mb = B * opts.block_size * 4 / 1e6
+    asm_sweep = {}
+    for nt in (1, 2, 4, 8, 16):
+        if nt > max(2 * ncores, 2):
+            break
+        best_nt = None
+        for _ in range(3):
+            t0 = time.time()
+            frames = assemble_frames(plan, pcm_a, si_a, 0,
+                                     fallback_options=opts, nthreads=nt)
+            dt = time.time() - t0
+            best_nt = dt if best_nt is None else min(best_nt, dt)
+        assert all(frames)
+        asm_sweep[str(nt)] = round(asm_mb / best_nt, 1)
+
     # device inverse-LPC step on resident data (decode-to-device path);
     # taps=16 is the bucket the BatchDecoder dispatch picks for LPC-12
     # preset -8 streams
@@ -199,7 +241,7 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
         jax.block_until_ready(out)
         dt = (time.time() - t0) / 8
         best = dt if best is None else min(best, dt)
-    return host_rate, mb / best, sweep
+    return host_rate, mb / best, sweep, asm_sweep
 
 
 def main() -> None:
@@ -221,10 +263,10 @@ def main() -> None:
         except Exception:
             e2e = None
 
-    dec_host = dec_dev = dec_sweep = None
+    dec_host = dec_dev = dec_sweep = asm_sweep = None
     if os.environ.get("FLAC_TPU_BENCH_DECODE", "1") != "0":
         try:
-            dec_host, dec_dev, dec_sweep = decode_mbps(opts)
+            dec_host, dec_dev, dec_sweep, asm_sweep = decode_mbps(opts)
         except Exception:
             pass
 
@@ -247,6 +289,8 @@ def main() -> None:
         out["decode_device_step_mbps"] = round(dec_dev, 1)
     if dec_sweep is not None:
         out["decode_mbps_by_threads"] = dec_sweep
+    if asm_sweep is not None:
+        out["assemble_mbps_by_threads"] = asm_sweep
     print(json.dumps(out))
 
 

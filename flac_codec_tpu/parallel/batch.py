@@ -44,6 +44,7 @@ from ..ops.encode_batch import (
     plan_blob_spec,
     unpack_plan_blob,
 )
+from ..utils import trace
 from .mesh import batch_mesh, shard_batch
 
 KIND_RICE = 0
@@ -125,7 +126,7 @@ def _write_subframe_from_plan(w: BitWriter, ch_plan: dict, b: int,
 
 def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
                     first_frame_number: int,
-                    fallback_options=None) -> List[bytes]:
+                    fallback_options=None, nthreads: int = 0) -> List[bytes]:
     """Turn a device plan + PCM batch into serialized FLAC frames.
 
     Uses the native C++ batch assembler (one call per batch, thread pool
@@ -144,7 +145,8 @@ def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
     nat = native.load()
     if nat is not None:
         return _assemble_frames_native(nat, plan, pcm, streaminfo,
-                                       first_frame_number, fallback_options)
+                                       first_frame_number, fallback_options,
+                                       nthreads=nthreads)
     if "packed_words" in plan:
         raise RuntimeError("device-packed plans need the native assembler")
     return _assemble_frames_python(plan, pcm, streaminfo, first_frame_number)
@@ -153,7 +155,8 @@ def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
 def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
                             streaminfo: meta.Streaminfo,
                             first_frame_number: int,
-                            fallback_options=None) -> List[bytes]:
+                            fallback_options=None,
+                            nthreads: int = 0) -> List[bytes]:
     B, C, N = pcm.shape
     chans_plans = plan["channels"]
     S = len(chans_plans)
@@ -226,6 +229,7 @@ def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
         residuals=residuals,
         channels=xs,
         chan_stride=chan_stride,
+        nthreads=nthreads,
         **kwargs,
     )
 
@@ -340,6 +344,10 @@ class BatchEncoder:
         # in-flight (device plan, host pcm, raw chunk) awaiting assembly —
         # lets device planning of batch k+1 overlap host assembly of batch k
         self._pending: List = []
+        # optional jax.profiler capture for this pipeline's lifetime
+        # (FLAC_TPU_PROFILE_DIR; no-op otherwise)
+        self._profiler = trace.profiler_session("batch-encode")
+        self._profiler.__enter__()
 
     def write(self, samples) -> None:
         samples = np.asarray(samples, dtype=np.int32)
@@ -391,22 +399,29 @@ class BatchEncoder:
         if key not in self._specs:
             self._specs[key] = plan_blob_spec(dev_pcm.shape, dev_pcm.dtype,
                                               **kw)
-        blob = encode_frames_plan_blob(dev_pcm, **kw)
-        if self._async_copy:
-            try:
-                blob.copy_to_host_async()
-            except AttributeError:  # non-jax array types in tests
-                pass
+        with trace.stage("encode.dispatch", frames=B):
+            blob = encode_frames_plan_blob(dev_pcm, **kw)
+            if self._async_copy:
+                try:
+                    blob.copy_to_host_async()
+                except AttributeError:  # non-jax array types in tests
+                    pass
         self._pending.append(((blob, self._specs[key]), pcm, chunk))
 
     def _drain_one(self) -> None:
         """Assemble and emit the oldest in-flight batch (in order)."""
         enc = self.encoder
         (blob, spec), pcm, chunk = self._pending.pop(0)
-        plan = unpack_plan_blob(np.asarray(blob), spec)
-        enc.md5.update(samples_to_bytes(chunk, enc.streaminfo.bits_per_sample))
-        frames = assemble_frames(plan, pcm, enc.streaminfo, enc.frame_number,
-                                 fallback_options=enc.options)
+        with trace.stage("encode.download", frames=pcm.shape[0]):
+            host_blob = np.asarray(blob)
+        plan = unpack_plan_blob(host_blob, spec)
+        with trace.stage("encode.md5"):
+            enc.md5.update(
+                samples_to_bytes(chunk, enc.streaminfo.bits_per_sample))
+        with trace.stage("encode.assemble", frames=pcm.shape[0]):
+            frames = assemble_frames(plan, pcm, enc.streaminfo,
+                                     enc.frame_number,
+                                     fallback_options=enc.options)
         si = enc.streaminfo
         for data in frames:
             enc.seekpoints.append(EncoderSeekPoint(
@@ -441,6 +456,9 @@ class BatchEncoder:
         enc.finalize()
         if self._owns_fp:
             enc.fp.close()
+        if self._profiler is not None:
+            self._profiler.__exit__(None, None, None)
+            self._profiler = None
 
     def __enter__(self):
         return self

@@ -27,6 +27,7 @@ from ..bitio import BitReader
 from ..decode import Decoder
 from ..ops.predict import (fixed_compatible_mask, predict_batch,
                            predict_fixed_batch)
+from ..utils import trace
 
 
 @partial(jax.jit, static_argnames=("block_size", "mode", "taps"))
@@ -96,6 +97,8 @@ class BatchDecoder:
         self.block_size = si.maximum_block_size
         self._native_ok = (si.minimum_block_size == si.maximum_block_size
                            and si.maximum_block_size > 0)
+        self._profiler = trace.profiler_session("batch-decode")
+        self._profiler.__enter__()
 
     @property
     def streaminfo(self) -> meta.Streaminfo:
@@ -110,6 +113,9 @@ class BatchDecoder:
     def close(self) -> None:
         if self._owns_fp:
             self.decoder.fp.close()
+        if self._profiler is not None:
+            self._profiler.__exit__(None, None, None)
+            self._profiler = None
 
     def __enter__(self):
         return self
@@ -139,9 +145,10 @@ class BatchDecoder:
         remaining = None if total is None else total - dec.current_sample
         if remaining is not None and remaining <= 0:
             return None
-        raw = nat.parse_frames_raw(
-            buf, dec.r.pos, self.batch_frames, si.sample_rate, si.channels,
-            si.bits_per_sample, self.block_size, remaining)
+        with trace.stage("decode.parse", frames=self.batch_frames):
+            raw = nat.parse_frames_raw(
+                buf, dec.r.pos, self.batch_frames, si.sample_rate,
+                si.channels, si.bits_per_sample, self.block_size, remaining)
         if raw["n"] == 0:
             # tail / error: host path (raises precise errors)
             frame = dec.read_frame()
@@ -174,8 +181,9 @@ class BatchDecoder:
             args = [shard_batch(self.mesh, a) for a in args]
         else:
             args = [jnp.asarray(a) for a in args]
-        pcm = _device_reconstruct(*args, self.block_size, mode=mode,
-                                  taps=taps)
+        with trace.stage("decode.reconstruct", frames=raw["n"], mode=mode):
+            pcm = _device_reconstruct(*args, self.block_size, mode=mode,
+                                      taps=taps)
         return pcm, raw["blocks"]
 
     def read_batch_interleaved(self):

@@ -148,12 +148,12 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
     view, start = d.r.np_view(), d.r.pos
     outbuf = np.empty(n * 2, dtype=np.int32)  # reused across calls
     best = None
-    for _ in range(4):
-        t0 = time.time()
+    for _ in range(16):  # enough reps to ride out shared-VM clock noise
+        t0 = time.perf_counter()
         out, sizes, end, err = nat.decode_frames(
             view, start, 10 ** 6, 44100, 2, 16, opts.block_size, n,
             nthreads=1, out=outbuf)
-        dt = time.time() - t0
+        dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     host_rate = pcm_mb / best
     # thread-scaling sweep (speculative frame-parallel decoder); flat on a
@@ -164,11 +164,11 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
         if nt > max(2 * ncores, 2):
             break
         best_nt = None
-        for _ in range(3):
-            t0 = time.time()
+        for _ in range(6):
+            t0 = time.perf_counter()
             nat.decode_frames(view, start, 10 ** 6, 44100, 2, 16,
                               opts.block_size, n, nthreads=nt, out=outbuf)
-            dt = time.time() - t0
+            dt = time.perf_counter() - t0
             best_nt = dt if best_nt is None else min(best_nt, dt)
         sweep[str(nt)] = round(pcm_mb / best_nt, 1)
 
@@ -205,11 +205,11 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
         if nt > max(2 * ncores, 2):
             break
         best_nt = None
-        for _ in range(3):
-            t0 = time.time()
+        for _ in range(6):
+            t0 = time.perf_counter()
             frames = assemble_frames(plan, pcm_a, si_a, 0,
                                      fallback_options=opts, nthreads=nt)
-            dt = time.time() - t0
+            dt = time.perf_counter() - t0
             best_nt = dt if best_nt is None else min(best_nt, dt)
         assert all(frames)
         asm_sweep[str(nt)] = round(asm_mb / best_nt, 1)

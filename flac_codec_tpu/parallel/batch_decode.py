@@ -32,17 +32,18 @@ from ..ops.predict_pallas import pallas_predict_ok, predict_batch_pallas
 from ..utils import trace
 
 
-@partial(jax.jit, static_argnames=("block_size", "mode", "taps"))
+@partial(jax.jit, static_argnames=("block_size", "mode", "taps", "limbs"))
 def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
                         block_size: int, mode: str = "scan",
-                        taps: int = 32):
+                        taps: int = 32, limbs: int = 2):
     """(B, C, N) raw subframes -> (B, C, N) int32 PCM, all on device.
 
     mode "fixed": every subframe is FIXED-compatible (shift 0, taps equal
     to a fixed-predictor row) -> exact k-fold-cumsum inverse, no scan.
     mode "scan": general inverse-LPC scan with `taps` MACs per step.
     mode "pallas": the VMEM-resident Pallas kernel, int32 end-to-end —
-    callers must have checked `pallas_predict_ok` (exactness gate).
+    callers must have checked `pallas_predict_ok` (exactness gate), which
+    also chooses `limbs` (2 for 16-bit-class batches, 3 for 24-bit).
     """
     B, C, N = buf.shape
     if mode == "pallas":
@@ -51,9 +52,9 @@ def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
                                    qcoeffs.reshape(B * C, 32),
                                    shift.reshape(B * C),
                                    order.reshape(B * C),
-                                   block_size, taps=taps)
-        # int32 is exact for the whole gated pipeline (samples < 2^17,
-        # mid-side sums < 2^18)
+                                   block_size, taps=taps, limbs=limbs)
+        # int32 is exact for the whole gated pipeline (samples < 2^25
+        # even in the 24-bit mode, mid-side sums < 2^26)
         out = jax.lax.shift_left(
             out, wasted.reshape(B * C, 1).astype(jnp.int32))
         out = out.reshape(B, C, N)
@@ -189,6 +190,7 @@ class BatchDecoder:
         mask = fixed_compatible_mask(raw["qcoeffs"].reshape(n * C, 32),
                                      raw["shift"].reshape(n * C),
                                      raw["order"].reshape(n * C))
+        limbs = 2
         if mask.all():
             mode, taps = "fixed", 32
         else:
@@ -196,14 +198,15 @@ class BatchDecoder:
             max_order = int(raw["order"].max())
             taps = next(t for t in (4, 8, 12, 16, 32) if t >= max_order)
             # the Pallas VMEM kernel when the batch is in its exactness
-            # domain (16-bit-class samples, sane shifts) and we are on a
-            # real TPU without a mesh (GSPMD cannot partition the kernel)
+            # domain (16/24-bit-class samples, shifts <= 13) and we are on
+            # a real TPU without a mesh (GSPMD cannot partition the kernel)
             if (jax.default_backend() == "tpu" and self.mesh is None
-                    and not os.environ.get("FLAC_TPU_NO_PALLAS")
-                    and pallas_predict_ok(
-                        raw["buf"], raw["qcoeffs"], raw["shift"],
-                        raw["order"], si.bits_per_sample, taps)):
-                mode = "pallas"
+                    and not os.environ.get("FLAC_TPU_NO_PALLAS")):
+                limbs = pallas_predict_ok(
+                    raw["buf"], raw["qcoeffs"], raw["shift"],
+                    raw["order"], si.bits_per_sample, taps)
+                if limbs:
+                    mode = "pallas"
         batch_axis = (self.mesh.shape[self.mesh.axis_names[0]]
                       if self.mesh is not None else 1)
         if self.mesh is not None and raw["n"] % batch_axis == 0:
@@ -214,7 +217,7 @@ class BatchDecoder:
             args = [jnp.asarray(a) for a in args]
         with trace.stage("decode.reconstruct", frames=raw["n"], mode=mode):
             pcm = _device_reconstruct(*args, self.block_size, mode=mode,
-                                      taps=taps)
+                                      taps=taps, limbs=limbs)
         return pcm, raw["blocks"]
 
     def read_batch_interleaved(self):

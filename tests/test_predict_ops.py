@@ -116,7 +116,8 @@ def test_predict_batch_taps_bucket():
 # domain must be bit-identical to the int64 XLA scan.
 # ---------------------------------------------------------------------------
 
-def _stable_lpc_batch(seed, B, N, max_order=12):
+def _stable_lpc_batch(seed, B, N, max_order=12, sample_bits=12,
+                      shifts=(10, 14), q_bits=11):
     """Residuals built by running the forward predictor over bounded
     samples, so the inverse recurrence stays in the Pallas gate's domain."""
     rng = np.random.default_rng(seed)
@@ -126,11 +127,11 @@ def _stable_lpc_batch(seed, B, N, max_order=12):
     x = np.zeros((B, N), np.int64)
     for b in range(B):
         o = int(orders[b])
-        y = rng.integers(-(1 << 12), 1 << 12, N)
+        y = rng.integers(-(1 << sample_bits), 1 << sample_bits, N)
         if o:
-            s = int(rng.integers(10, 14))
+            s = int(rng.integers(*shifts))
             shift[b] = s
-            q[b, :o] = rng.integers(-(1 << 11), 1 << 11, o)
+            q[b, :o] = rng.integers(-(1 << q_bits), 1 << q_bits, o)
             res = y.copy()
             for n in range(o, N):
                 acc = int((q[b, :o] * y[n - o:n][::-1]).sum())
@@ -149,29 +150,62 @@ def test_pallas_predict_matches_scan_interpret():
     for taps in (8, 16):
         x, q, shift, orders = _stable_lpc_batch(3 + taps, 12, 192,
                                                 max_order=taps - 4)
-        assert pallas_predict_ok(x, q, shift, orders, 16, taps)
+        assert pallas_predict_ok(x, q, shift, orders, 16, taps) == 2
         ref = predict_batch(jnp.asarray(x), jnp.asarray(q),
                             jnp.asarray(shift), jnp.asarray(orders),
                             x.shape[1], taps=taps)
         got = predict_batch_pallas(jnp.asarray(x), jnp.asarray(q),
                                    jnp.asarray(shift), jnp.asarray(orders),
-                                   x.shape[1], taps=taps, interpret=True)
+                                   x.shape[1], taps=taps, limbs=2,
+                                   interpret=True)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
-def test_pallas_gate_rejections():
+def test_pallas_predict_3limb_24bit_interpret():
+    """24-bit-class samples take the 3-limb mode; small shifts are legal."""
+    from flac_codec_tpu.ops.predict_pallas import (pallas_predict_ok,
+                                                   predict_batch_pallas)
+
+    # wide samples with normal shifts, plus small samples with tiny
+    # shifts (legal since the wrap-exact decomposition needs no lower
+    # shift bound)
+    x, q, shift, orders = _stable_lpc_batch(21, 10, 192, max_order=12,
+                                            sample_bits=20, shifts=(10, 16),
+                                            q_bits=9)
+    x2, q2, shift2, orders2 = _stable_lpc_batch(22, 10, 192, max_order=8,
+                                                sample_bits=10, shifts=(1, 6),
+                                                q_bits=6)
+    x = np.concatenate([x, x2]); q = np.concatenate([q, q2])
+    shift = np.concatenate([shift, shift2])
+    orders = np.concatenate([orders, orders2])
+    mode = pallas_predict_ok(x, q, shift, orders, 24, 16)
+    assert mode == 3
+    ref = predict_batch(jnp.asarray(x), jnp.asarray(q),
+                        jnp.asarray(shift), jnp.asarray(orders),
+                        x.shape[1], taps=16)
+    got = predict_batch_pallas(jnp.asarray(x), jnp.asarray(q),
+                               jnp.asarray(shift), jnp.asarray(orders),
+                               x.shape[1], taps=16, limbs=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_pallas_gate_modes():
     from flac_codec_tpu.ops.predict_pallas import pallas_predict_ok
 
     x, q, shift, orders = _stable_lpc_batch(7, 6, 64)
-    assert pallas_predict_ok(x, q, shift, orders, 16, 16)
-    # 24-bit streams are outside the int32 exactness domain
-    assert not pallas_predict_ok(x, q, shift, orders, 24, 16)
-    # a tiny LPC shift breaks the limb decomposition bound
-    bad = shift.copy()
-    bad[orders > 0] = 2
-    if (orders > 0).any():
-        assert not pallas_predict_ok(x, q, bad, orders, 16, 16)
-    # sample magnitudes beyond 2^17 (wide side channels)
+    assert pallas_predict_ok(x, q, shift, orders, 16, 16) == 2
+    # 24-bit streams use the 3-limb mode
+    assert pallas_predict_ok(x, q, shift, orders, 24, 16) == 3
+    # 16-bit-labelled batch with wide residuals falls through to 3-limb
     x2 = x.copy()
     x2[0, -1] = 1 << 18
-    assert not pallas_predict_ok(x2, q, shift, orders, 16, 16)
+    assert pallas_predict_ok(x2, q, shift, orders, 16, 16) == 3
+    # a shift beyond the 2-limb boundary falls back to the 64-bit mode
+    bad = shift.copy()
+    bad[orders > 0] = 14
+    if (orders > 0).any():
+        assert pallas_predict_ok(x, q, bad, orders, 16, 16) == 3
+    # 32-bit-wide samples reject
+    x3 = x.copy()
+    x3[0, -1] = 1 << 26
+    assert pallas_predict_ok(x3, q, shift, orders, 32, 16) == 0

@@ -52,6 +52,7 @@ from flac_codec_tpu.ops.encode_batch import encode_frames_plan_blob
 from flac_codec_tpu.parallel.batch import BatchEncoder
 
 BASELINE_MBPS = 1000.0  # >= 1 GB/s PCM per chip (BASELINE.json north_star)
+_compression_ratio = None  # set by decode_mbps (preset -8, music-like corpus)
 
 
 def make_audio(n_samples: int, seed: int = 0) -> np.ndarray:
@@ -150,6 +151,8 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
     w = FlacSampleWriter(buf, opts, 44100, 16, 2, total_samples=n)
     w.write(inter)
     w.finalize()
+    global _compression_ratio
+    _compression_ratio = len(buf.getvalue()) / (n * 4)
     pcm_mb = n * 4 / 1e6
     d = Decoder(io.BytesIO(buf.getvalue()))
     view, start = d.r.np_view(), d.r.pos
@@ -335,6 +338,8 @@ def main() -> None:
         out["decode_device_step_mbps"] = round(dec_dev, 1)
     if dec_sweep is not None:
         out["decode_mbps_by_threads"] = dec_sweep
+    if _compression_ratio is not None:
+        out["compression_ratio_preset8"] = round(_compression_ratio, 4)
     if asm_sweep is not None:
         out["assemble_mbps_by_threads"] = asm_sweep
     print(json.dumps(out))

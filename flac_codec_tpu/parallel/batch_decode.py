@@ -52,7 +52,8 @@ def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
                                    qcoeffs.reshape(B * C, 32),
                                    shift.reshape(B * C),
                                    order.reshape(B * C),
-                                   block_size, taps=taps, limbs=limbs)
+                                   block_size, taps=taps, limbs=limbs,
+                                   interpret=jax.default_backend() != "tpu")
         # int32 is exact for the whole gated pipeline (samples < 2^25
         # even in the 24-bit mode, mid-side sums < 2^26)
         out = jax.lax.shift_left(
@@ -198,9 +199,13 @@ class BatchDecoder:
             max_order = int(raw["order"].max())
             taps = next(t for t in (4, 8, 12, 16, 32) if t >= max_order)
             # the Pallas VMEM kernel when the batch is in its exactness
-            # domain (16/24-bit-class samples, shifts <= 13) and we are on
-            # a real TPU without a mesh (GSPMD cannot partition the kernel)
-            if (jax.default_backend() == "tpu" and self.mesh is None
+            # domain (16/24-bit-class samples) and we are on a real TPU
+            # without a mesh (GSPMD cannot partition the kernel);
+            # FLAC_TPU_PALLAS=force engages it off-TPU through the Pallas
+            # interpreter (slow — integration testing only)
+            want = (jax.default_backend() == "tpu"
+                    or os.environ.get("FLAC_TPU_PALLAS") == "force")
+            if (want and self.mesh is None
                     and not os.environ.get("FLAC_TPU_NO_PALLAS")):
                 limbs = pallas_predict_ok(
                     raw["buf"], raw["qcoeffs"], raw["shift"],

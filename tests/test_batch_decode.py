@@ -91,3 +91,43 @@ def test_fixed_only_stream_cumsum_dispatch():
         bd._device_reconstruct = saved
     np.testing.assert_array_equal(dev.reshape(-1), host)
     assert "fixed" in seen, f"cumsum dispatch never engaged: {seen}"
+
+
+def test_batch_decoder_pallas_interpret_integration(monkeypatch):
+    """End-to-end BatchDecoder through the Pallas path (interpret mode on
+    CPU via FLAC_TPU_PALLAS=force): gate selection, limb-mode dispatch,
+    wasted-bits and decorrelation must match the host decoder exactly."""
+    import io
+
+    from flac_codec_tpu.decode import FlacSampleReader
+    from flac_codec_tpu.encode import FlacSampleWriter, Options
+    import flac_codec_tpu.parallel.batch_decode as bdm
+
+    rng = np.random.default_rng(17)
+    n = 256 * 6
+    t = np.arange(n, dtype=np.float64)
+    sig = 5000 * np.sin(t * 0.02) + rng.normal(0, 400, n)
+    pcm = np.clip(np.round(np.stack([sig, 0.7 * sig]).T.reshape(-1)),
+                  -32768, 32767).astype(np.int32)
+    buf = io.BytesIO()
+    opts = Options.best().with_block_size(256).no_seektable()
+    w = FlacSampleWriter(buf, opts, 44100, 16, 2, total_samples=n)
+    w.write(pcm)
+    w.finalize()
+
+    monkeypatch.setenv("FLAC_TPU_PALLAS", "force")
+    modes = []
+    orig = bdm._device_reconstruct
+
+    def spy(*a, **kw):
+        modes.append(kw.get("mode"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(bdm, "_device_reconstruct", spy)
+    with bdm.BatchDecoder(io.BytesIO(buf.getvalue()), batch_frames=6) as bd:
+        out = bd.read_all_device()
+    assert "pallas" in modes, f"pallas path not engaged: {modes}"
+    ref = np.asarray(
+        FlacSampleReader(io.BytesIO(buf.getvalue())).read_to_end())
+    got = np.asarray(out).reshape(-1)[: len(ref)]
+    np.testing.assert_array_equal(ref, got)

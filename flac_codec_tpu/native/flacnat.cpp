@@ -697,7 +697,12 @@ struct FastBits {
     }
     inline bool fits(uint64_t n) const { return pos() + n <= limit; }
     inline void consume(uint32_t n) {
-        window <<= n;
+        // n can reach 64 when get_unary eats a whole window (a zero run
+        // of >= 64 bits); `window <<= 64` is UB and on x86 leaves window
+        // UNCHANGED, planting stale bits below `avail` that the next
+        // refill ORs into fresh data (found by randomized fuzzing: one
+        // corrupted Rice LSB per ~2^17 symbols on quotient-123 streams)
+        window = n >= 64 ? 0 : window << n;
         avail -= n;
     }
     inline void refill() {

@@ -69,3 +69,46 @@ def test_parse_raw_garbage():
         data = rng.integers(0, 256, size).astype(np.uint8)
         raw = nat.parse_frames_raw(data, 0, 16, 44100, 2, 16, 1024, None)
         assert raw["n"] >= 0
+
+
+def test_long_unary_run_window_invariant():
+    """Regression: a Rice code whose zero run spans >= 64 bits made
+    FastBits.consume shift a 64-bit window by 64 (UB; x86 leaves the
+    window unchanged), planting a stale bit below `avail` that a later
+    refill OR'd into fresh data — one corrupted LSB thousands of symbols
+    downstream.  Step-function audio with rare huge jumps produces
+    exactly these quotient-~123 codes at k=6 (found by randomized
+    fuzzing)."""
+    import io
+
+    from flac_codec_tpu.decode import FlacSampleReader
+    from flac_codec_tpu.encode import FlacSampleWriter, Options
+
+    rng = np.random.default_rng(1)
+    bps, ch, block, n = 12, 2, 4096, 11594
+    total = n * ch
+    hi = (1 << (bps - 1)) - 1
+    reps = np.repeat(rng.integers(-hi - 1, hi + 1, total // 50 + 1), 50)
+    pcm = np.asarray(reps[:total], dtype=np.int64)
+    opts = (Options().with_block_size(block).no_seektable()
+            .with_max_lpc_order(None).with_max_partition_order(0)
+            .with_mid_side(True))
+    buf = io.BytesIO()
+    w = FlacSampleWriter(buf, opts, 44100, bps, ch, total_samples=n)
+    w.write(pcm)
+    w.finalize()
+    data = buf.getvalue()
+    # decoder path (delegates to the native bulk decoder when available)
+    got = np.asarray(FlacSampleReader(io.BytesIO(data)).read_to_end())
+    np.testing.assert_array_equal(got, pcm)
+    # explicit native single-thread and speculative multi-thread paths
+    nat = native.load()
+    if nat is not None:
+        from flac_codec_tpu.decode import Decoder
+
+        for nthreads in (1, 4):
+            d = Decoder(io.BytesIO(data))
+            out, sizes, end, err = nat.decode_frames(
+                d.r.np_view(), d.r.pos, 10 ** 6, 44100, ch, bps, block, n,
+                nthreads=nthreads)
+            np.testing.assert_array_equal(out[: n * ch], pcm)

@@ -1119,12 +1119,18 @@ static int decode_subframe(FastBits& g, uint32_t bps, uint32_t n, ST* ch,
                         ch[pos + i] = (ST)g.get_signed(width);
                 }
             } else {
-                uint64_t bitpos = g.pos();
-                uint32_t done = rice_bulk_k(g.buf, g.nbytes, bitpos,
-                                            ch + pos, m, param);
-                g.set_pos(bitpos);
-                // tail (near buffer end / over-long codes): checked path
-                for (uint32_t i = done; i < m; i++) {
+                // fast bulk decode, with ONE checked symbol per bulk stop
+                // and immediate bulk re-entry: an over-long code (unary
+                // run past the 64-bit window) only costs itself, instead
+                // of demoting the whole partition remainder to the
+                // checked path (step-function audio hits this often)
+                uint32_t i = 0;
+                while (i < m) {
+                    uint64_t bitpos = g.pos();
+                    i += rice_bulk_k(g.buf, g.nbytes, bitpos,
+                                     ch + pos + i, m - i, param);
+                    g.set_pos(bitpos);
+                    if (i >= m) break;
                     uint64_t before = g.pos();
                     uint32_t qq = g.get_unary();
                     // terminating 1 consumed iff pos advanced qq+1
@@ -1134,6 +1140,7 @@ static int decode_subframe(FastBits& g, uint32_t bps, uint32_t n, ST* ch,
                     uint64_t u64 = ((uint64_t)qq << param) | lsb;
                     ch[pos + i] = (ST)((u64 & 1) ? -((int64_t)(u64 >> 1)) - 1
                                                    : (int64_t)(u64 >> 1));
+                    i++;
                 }
             }
             pos += m;

@@ -87,6 +87,10 @@ def fuzz_host(rng, deadline: float, max_trials: int) -> int:
                 FlacSampleReader(io.BytesIO(data)).read_to_end())
             assert np.array_equal(got, pcm), "decode mismatch"
             assert verify(io.BytesIO(data)) == Verified.MD5_MATCH
+            from flac_codec_tpu.format.frame_model import rebuild_stream
+
+            assert rebuild_stream(io.BytesIO(data)) == data, \
+                "structured rebuild mismatch"
         except Exception as e:
             print(f"FAIL trial {trials}: {cfg}: {e!r}", flush=True)
             fails += 1

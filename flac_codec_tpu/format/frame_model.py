@@ -23,7 +23,7 @@ the original when every bit upstream matched.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import BinaryIO, Iterator, List, Optional, Tuple
+from typing import BinaryIO, Iterator, List, Optional
 
 import numpy as np
 

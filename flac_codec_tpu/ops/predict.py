@@ -8,6 +8,13 @@ src/decode.rs:1738-1752).
 One scan handles every subframe in the batch regardless of its predictor
 order: coefficients are zero-padded to 32 taps and positions below the
 order pass warm-up samples through unchanged.
+
+Role note: on TPU this int64 scan is the exactness FALLBACK (32-bit-wide
+streams, off-gate batches, sharded meshes); the production decode path is
+the VMEM-resident Pallas kernel in ops/predict_pallas.py (~100x faster —
+XLA sequences each per-sample op through HBM with ~1.3 us of fixed
+overhead), and FIXED-predictor batches take the k-fold-cumsum inverse
+below, which needs no sequential step at all.
 """
 
 from __future__ import annotations

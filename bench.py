@@ -201,17 +201,20 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
                                dec2.total_samples)
     B, C, N = raw["buf"].shape
     taps = 16
-    mode = ("pallas" if jax.default_backend() == "tpu"
-            and pallas_predict_ok(raw["buf"], raw["qcoeffs"], raw["shift"],
-                                  raw["order"], si2.bits_per_sample, taps)
-            else "scan")
+    # the gate also picks the limb mode (2 or 3) — pass it through so the
+    # bench times the exact kernel BatchDecoder would dispatch (e.g. a
+    # 16-bit stream quantized to shift 14/15 needs the 3-limb kernel)
+    limbs = (pallas_predict_ok(raw["buf"], raw["qcoeffs"], raw["shift"],
+                               raw["order"], si2.bits_per_sample, taps)
+             if jax.default_backend() == "tpu" else 0)
+    mode = "pallas" if limbs else "scan"
     variants = []
     for v in range(4):
         variants.append([jnp.asarray(np.roll(raw[k], v + 1, axis=0))
                          for k in ("buf", "qcoeffs", "shift", "order",
                                    "wasted", "assignment")])
     step = partial(_device_reconstruct, block_size=bd.block_size,
-                   mode=mode, taps=taps)
+                   mode=mode, taps=taps, limbs=limbs or 2)
     for a in variants:
         jax.block_until_ready(step(*a))
     dev_mb = B * C * N * 2 / 1e6

@@ -316,16 +316,13 @@ def load() -> Native | None:
         try:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                # -march=native unlocks the AVX-512 predictor and wider
-                # codegen on hosts that have it; fall back to portable -O3
-                # when the local toolchain rejects the flag
-                base = ["g++", "-O3", "-shared", "-fPIC", _SRC,
-                        "-o", _SO + ".tmp"]
-                try:
-                    subprocess.run(base[:2] + ["-march=native"] + base[2:],
-                                   check=True, capture_output=True)
-                except subprocess.CalledProcessError:
-                    subprocess.run(base, check=True, capture_output=True)
+                # portable -O3 on purpose: the SIMD fast paths carry
+                # per-function target attributes with runtime cpuid
+                # dispatch, so the binary (including the committed cache)
+                # is safe to copy between hosts of different vintages
+                subprocess.run(["g++", "-O3", "-shared", "-fPIC", _SRC,
+                                "-o", _SO + ".tmp"],
+                               check=True, capture_output=True)
                 os.replace(_SO + ".tmp", _SO)
             _lib = Native(ctypes.CDLL(_SO))
             return _lib

@@ -7,16 +7,30 @@
 // recurrence used by the host decode path.  The device plane (JAX/Pallas)
 // produces/consumes whole arrays; this file turns them into FLAC bits.
 //
-// Build: g++ -O3 -march=native -shared -fPIC flacnat.cpp -o libflacnat.so
+// Build: g++ -O3 -shared -fPIC flacnat.cpp -o libflacnat.so
 // Exposed via ctypes (see build.py); pure C ABI, no pybind11.
+//
+// The SIMD fast paths (AVX2 paired predictor, PCLMUL CRC-16) are compiled
+// unconditionally via per-function target attributes and selected at
+// runtime with __builtin_cpu_supports, so one portable -O3 binary is safe
+// to copy between x86-64 hosts (no -march=native in the artifact).
 
 #include <cstdint>
 #include <cstddef>
 #include <cstring>
 
-#if defined(__AVX2__)
-#define FLACNAT_AVX2 1
+#if (defined(__x86_64__) || defined(__i386__)) && defined(__GNUC__)
+#define FLACNAT_X86 1
 #include <immintrin.h>
+static inline bool cpu_has_avx2() {
+    static const bool ok = __builtin_cpu_supports("avx2");
+    return ok;
+}
+static inline bool cpu_has_clmul() {
+    static const bool ok = __builtin_cpu_supports("pclmul")
+                           && __builtin_cpu_supports("ssse3");
+    return ok;
+}
 #endif
 
 extern "C" {
@@ -64,7 +78,7 @@ uint32_t nat_crc8(const uint8_t* data, size_t n, uint32_t crc) {
 
 static uint32_t crc16_table(const uint8_t* data, size_t n, uint32_t crc);
 
-#if defined(__PCLMUL__) && defined(__SSSE3__)
+#if defined(FLACNAT_X86)
 // Carry-less-multiply CRC-16 (poly 0x8005, non-reflected, init 0).
 // Folds the message 128 bits at a time: with the running 128-bit state V
 // split as Vh*x^64 + Vl, appending a block B gives
@@ -84,6 +98,7 @@ static uint64_t xpow_mod_p16(unsigned deg) {
 static const uint64_t CRC16_K128 = xpow_mod_p16(128);
 static const uint64_t CRC16_K192 = xpow_mod_p16(192);
 
+__attribute__((target("pclmul,ssse3")))
 static uint32_t crc16_clmul(const uint8_t* data, size_t n, uint32_t crc) {
     const __m128i rev = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7,
                                      8, 9, 10, 11, 12, 13, 14, 15);
@@ -109,12 +124,12 @@ static uint32_t crc16_clmul(const uint8_t* data, size_t n, uint32_t crc) {
     uint32_t c = crc16_table(tmp, 16, 0);
     return crc16_table(data, n, c);
 }
-#endif  // __PCLMUL__ && __SSSE3__
+#endif  // FLACNAT_X86
 
 uint32_t nat_crc16(const uint8_t* data, size_t n, uint32_t crc) {
     if (!tables_ready) init_tables();
-#if defined(__PCLMUL__) && defined(__SSSE3__)
-    if (n >= 32) return crc16_clmul(data, n, crc);
+#if defined(FLACNAT_X86)
+    if (n >= 32 && cpu_has_clmul()) return crc16_clmul(data, n, crc);
 #endif
     return crc16_table(data, n, crc);
 }
@@ -892,7 +907,8 @@ static void predict_any(ST* x, uint32_t n, const int64_t* q,
 static const int64_t FIXED_Q[5][4] = {
     {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
 
-#ifdef FLACNAT_AVX2
+#ifdef FLACNAT_X86
+__attribute__((target("avx2")))
 static inline int64_t hsum4_epi64(__m256i v) {
     __m128i s = _mm_add_epi64(_mm256_castsi256_si128(v),
                               _mm256_extracti128_si256(v, 1));
@@ -911,6 +927,7 @@ static inline int64_t hsum4_epi64(__m256i v) {
 // ~1.5x over the scalar chain at orders 7-9
 // (reference hot loop: src/decode.rs:1738-1752).
 template <int NV>
+__attribute__((target("avx2")))
 static void predict_pair_main(int32_t* __restrict a, int32_t* __restrict b,
                               uint32_t start, uint32_t n,
                               const int64_t* qsa, const int64_t* qsb,
@@ -956,7 +973,7 @@ static void predict_pair_main(int32_t* __restrict a, int32_t* __restrict b,
                          + ((B0 * (int64_t)b[i - 1] + rb) >> sb));
     }
 }
-#endif  // FLACNAT_AVX2
+#endif  // FLACNAT_X86
 
 // Run both channels' predictors for a stereo frame decoded in raw mode,
 // then apply the wasted-bits shifts.  int32 storage gets the paired
@@ -965,9 +982,9 @@ static void predict_pair_main(int32_t* __restrict a, int32_t* __restrict b,
 static void predict_two(int32_t* c0, int32_t* c1, uint32_t n,
                         const int64_t* q0, uint32_t o0, uint32_t s0,
                         const int64_t* q1, uint32_t o1, uint32_t s1) {
-#ifdef FLACNAT_AVX2
+#ifdef FLACNAT_X86
     uint32_t omax = o0 > o1 ? o0 : o1;
-    if (omax > 0) {
+    if (cpu_has_avx2() && omax > 0) {
         int64_t qsa[40] = {0}, qsb[40] = {0};
         for (uint32_t j = 0; j < o0; j++) qsa[j] = q0[j];
         for (uint32_t j = 0; j < o1; j++) qsb[j] = q1[j];

@@ -94,7 +94,17 @@ def _decorrelate(out, assignment, C):
 
 
 class BatchDecoder:
-    """Decode a fixed-block-size FLAC stream in frame batches on device."""
+    """Decode a fixed-block-size FLAC stream in frame batches on device.
+
+    Trust model: the Pallas fast path is exact for every spec-conforming
+    stream (decoded samples within the bits-per-sample range), which the
+    host gate `pallas_predict_ok` checks on the parsed inputs.  A
+    CRC-valid but non-conforming stream engineered to push predictions
+    past int32 can wrap inside the kernel and diverge from the host
+    decoder without an error — run untrusted input through the host
+    decoder (`decode.verify` / `FlacSampleReader`) or set
+    FLAC_TPU_NO_PALLAS=1 to force the exact int64 scan path.
+    """
 
     def __init__(self, fp_or_path, batch_frames: int = 256, mesh=None):
         # exact int64 accumulators in the inverse-LPC recurrence; without

@@ -42,7 +42,7 @@ def _print_block(i: int, b, last: bool) -> None:
         for j, f in enumerate(b.fields):
             print(f"    comment[{j}]: {f}")
     elif isinstance(b, meta.Picture):
-        print(f"  type: {b.picture_type}")
+        print(f"  type: {b.picture_type} ({b.type_name()})")
         print(f"  MIME type: {b.mime_type}")
         print(f"  description: {b.description}")
         print(f"  width: {b.width}")

@@ -324,12 +324,54 @@ class Picture:
     data: bytes = b""
     TYPE = PICTURE
 
-    # picture type codes (reference: src/metadata/mod.rs:4035-4078)
+    # picture type codes — all 21 defined values
+    # (reference: src/metadata/mod.rs:4035-4078)
     OTHER = 0
     PNG_ICON = 1
     GENERAL_ICON = 2
     FRONT_COVER = 3
     BACK_COVER = 4
+    LINER_NOTES = 5
+    MEDIA_LABEL = 6
+    LEAD_ARTIST = 7
+    ARTIST = 8
+    CONDUCTOR = 9
+    BAND = 10
+    COMPOSER = 11
+    LYRICIST = 12
+    RECORDING_LOCATION = 13
+    DURING_RECORDING = 14
+    DURING_PERFORMANCE = 15
+    SCREEN_CAPTURE = 16
+    FISH = 17
+    ILLUSTRATION = 18
+    BAND_LOGO = 19
+    PUBLISHER_LOGO = 20
+
+    # display strings (reference: src/metadata/mod.rs:4080-4106)
+    TYPE_NAMES = (
+        "Other", "32×32 PNG Icon", "General File Icon",
+        "Cover (front)", "Cover (back)", "Liner Notes", "Media Label",
+        "Lead Artist", "Artist", "Conductor", "Band or Orchestra",
+        "Composer", "lyricist or Text Writer", "Recording Location",
+        "During Recording", "During Performance",
+        "Movie or Video Screen Capture", "A Bright Colored Fish",
+        "Illustration", "Band or Artist Logotype",
+        "Publisher or Studio Logotype")
+
+    def type_name(self) -> str:
+        return (self.TYPE_NAMES[self.picture_type]
+                if 0 <= self.picture_type < len(self.TYPE_NAMES)
+                else f"invalid ({self.picture_type})")
+
+    def __post_init__(self):
+        from ..errors import InvalidPictureType
+
+        if not 0 <= self.picture_type <= 20:
+            # reference parse rejects codes past PublisherLogo
+            # (src/metadata/mod.rs:4108-4137)
+            raise InvalidPictureType(
+                f"picture type {self.picture_type} outside 0-20")
 
     def to_bytes(self) -> bytes:
         out = bytearray()

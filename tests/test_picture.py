@@ -48,3 +48,27 @@ def test_picture_fixture(ref_data):
     pic = meta.read_block(str(ref_data / "picture.flac"), meta.Picture)
     assert pic is not None
     assert pic.width > 0 and pic.height > 0
+
+
+def test_picture_type_constants_and_names():
+    # all 21 defined type codes (reference: src/metadata/mod.rs:4035-4078)
+    assert Picture.OTHER == 0 and Picture.PUBLISHER_LOGO == 20
+    assert len(Picture.TYPE_NAMES) == 21
+    assert Picture(picture_type=Picture.FISH).type_name() == \
+        "A Bright Colored Fish"
+    assert Picture(picture_type=3).type_name() == "Cover (front)"
+
+
+def test_picture_type_range_validated():
+    # parse must reject type codes past PublisherLogo
+    # (reference: src/metadata/mod.rs:4108-4137 -> Error::InvalidPictureType)
+    from flac_codec_tpu.errors import InvalidPictureType
+
+    blob = Picture(picture_type=20).to_bytes()
+    bad = (21).to_bytes(4, "big") + blob[4:]
+    with pytest.raises(InvalidPictureType):
+        Picture.from_bytes(bad)
+    with pytest.raises(InvalidPictureType):
+        Picture(picture_type=21)
+    with pytest.raises(InvalidPictureType):
+        Picture(picture_type=-1)

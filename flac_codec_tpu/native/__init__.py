@@ -65,6 +65,13 @@ class Native:
             ctypes.c_uint32, ctypes.c_uint64,
             i32p, u8p, i8p, u8p, i32p, u8p, u32p,
             ctypes.POINTER(ctypes.c_uint64), u32p]
+        lib.nat_scan_frames.restype = ctypes.c_int64
+        lib.nat_scan_frames.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint64,
+            u64p, u32p, u8p, u32p,
+            ctypes.POINTER(ctypes.c_uint64), u32p]
         lib.nat_decode_frames.restype = ctypes.c_int64
         lib.nat_decode_frames.argtypes = [
             u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32,
@@ -246,6 +253,37 @@ class Native:
         return {
             "n": n, "buf": out[:n], "order": order[:n], "shift": shift[:n],
             "wasted": wasted[:n], "qcoeffs": qcoeffs[:n],
+            "assignment": assignment[:n], "blocks": blocks[:n],
+            "end_bitpos": int(end.value), "error": int(err[0]),
+        }
+
+    def scan_frames(self, buf: np.ndarray, start_bitpos: int,
+                    n_frames: int, sample_rate: int, channels: int,
+                    bps: int, block_size: int, remaining_samples):
+        """Frame-boundary scan for the device-parse pipeline: per-frame
+        body byte ranges + assignment, CRC-8/16 validated, residuals NOT
+        decoded (the device does that).  Returns a dict; ``n`` frames
+        found, ``error`` the DEC_* stop reason."""
+        body_off = np.zeros(n_frames, dtype=np.uint64)
+        body_bytes = np.zeros(n_frames, dtype=np.uint32)
+        assignment = np.zeros(n_frames, dtype=np.uint8)
+        blocks = np.zeros(n_frames, dtype=np.uint32)
+        end = ctypes.c_uint64(0)
+        err = np.zeros(1, dtype=np.uint32)
+        rem = (1 << 64) - 1 if remaining_samples is None else remaining_samples
+
+        def p(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        n = self._lib.nat_scan_frames(
+            p(buf, ctypes.c_uint8), len(buf), start_bitpos, n_frames,
+            sample_rate, channels, bps, block_size, rem,
+            p(body_off, ctypes.c_uint64), p(body_bytes, ctypes.c_uint32),
+            p(assignment, ctypes.c_uint8), p(blocks, ctypes.c_uint32),
+            ctypes.byref(end), p(err, ctypes.c_uint32))
+        n = int(n)
+        return {
+            "n": n, "body_off": body_off[:n], "body_bytes": body_bytes[:n],
             "assignment": assignment[:n], "blocks": blocks[:n],
             "end_bitpos": int(end.value), "error": int(err[0]),
         }

@@ -1600,6 +1600,106 @@ int64_t nat_decode_frames_mt(
 
 extern "C" {
 
+// Frame-boundary scan for the full-device decode pipeline: finds each
+// frame's byte range WITHOUT decoding residuals, so the host's role
+// shrinks to sync detection + CRC validation (the device parses frame
+// bodies bit-serially in ops/framescan.py).  A frame's end is located
+// speculatively: scan for the next byte position that parses as a valid
+// frame header (15-bit sync + field validation + streaminfo cross-check +
+// CRC-8), then confirm with the current frame's CRC-16 residue over
+// [start, end) — a false candidate needs a ~2^-30 coincidence AND a
+// passing CRC-16, and any miss falls back to the exact sequential path.
+// Per frame outputs: body byte offset (after the header), body length
+// excluding the 2 CRC-16 bytes, channel assignment, block size.
+int64_t nat_scan_frames(
+    const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
+    uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,
+    uint32_t block_size, uint64_t remaining_samples,
+    uint64_t* body_off, uint32_t* body_bytes,
+    uint8_t* out_assignment, uint32_t* out_block,
+    uint64_t* end_bitpos, uint32_t* error) {
+    if (!tables_ready) init_tables();
+    uint64_t pos = start_bitpos >> 3;
+    *error = DEC_OK;
+    int64_t found = 0;
+    for (uint32_t f = 0; f < n_frames; f++) {
+        if (remaining_samples != ~0ull && remaining_samples == 0) {
+            *error = DEC_EOF;
+            break;
+        }
+        if (pos >= buf_bytes) { *error = DEC_EOF; break; }
+        FastBits g;
+        g.init(buf, buf_bytes, pos * 8);
+        FrameHdr hdr;
+        int hrc = parse_frame_header(g, buf, pos, sample_rate, bps, &hdr);
+        if (hrc != DEC_OK) { *error = (uint32_t)hrc; break; }
+        if (hdr.rate != sample_rate || hdr.ch_count != channels
+            || hdr.bps != bps || hdr.block_size > block_size) {
+            *error = DEC_HDR;
+            break;
+        }
+        if (hdr.block_size != block_size) {
+            *error = DEC_SHORT_BLOCK;  // short (last) frame: host path
+            break;
+        }
+        if (remaining_samples != ~0ull
+            && (hdr.block_size > remaining_samples
+                || !(hdr.block_size == remaining_samples
+                     || hdr.block_size > 14))) {
+            *error = DEC_SHORT_BLOCK;
+            break;
+        }
+        uint64_t hdr_end = g.pos() >> 3;  // headers are whole bytes
+
+        // locate the frame end: next validated header candidate whose
+        // span passes the CRC-16 residue check, else the buffer end
+        uint64_t end = 0;
+        uint32_t tries = 0;
+        const uint8_t* p = buf + hdr_end;
+        const uint8_t* const scan_end = buf + buf_bytes - 1;
+        while (p < scan_end) {
+            p = (const uint8_t*)memchr(p, 0xFF, scan_end - p);
+            if (!p) break;
+            if ((p[1] & 0xFE) == 0xF8) {
+                FastBits h;
+                h.init(buf, buf_bytes, (uint64_t)(p - buf) * 8);
+                FrameHdr nh;
+                if (parse_frame_header(h, buf, p - buf, sample_rate, bps,
+                                       &nh) == DEC_OK
+                    && nh.rate == sample_rate && nh.ch_count == channels
+                    && nh.bps == bps && nh.block_size <= block_size) {
+                    uint64_t cand = (uint64_t)(p - buf);
+                    if (nat_crc16(buf + pos, cand - pos, 0) == 0) {
+                        end = cand;
+                        break;
+                    }
+                    if (++tries > 16) break;  // corrupt region: host path
+                }
+            }
+            p++;
+        }
+        if (end == 0) {
+            // stream-end candidate (last frame in the buffer)
+            if (buf_bytes - pos >= 12
+                && nat_crc16(buf + pos, buf_bytes - pos, 0) == 0)
+                end = buf_bytes;
+            else {
+                *error = DEC_CRC16;  // or mid-stream corruption: host path
+                break;
+            }
+        }
+        body_off[f] = hdr_end;
+        body_bytes[f] = (uint32_t)(end - hdr_end - 2);
+        out_assignment[f] = (uint8_t)hdr.ca;
+        out_block[f] = hdr.block_size;
+        pos = end;
+        if (remaining_samples != ~0ull) remaining_samples -= hdr.block_size;
+        found++;
+    }
+    *end_bitpos = pos * 8;
+    return found;
+}
+
 int64_t nat_parse_frames_raw(
     const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
     uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,

@@ -46,8 +46,10 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     part_len = block_size // parts                         # (B,)
     part_idx = jnp.minimum(pos[None, :] // part_len[:, None],
                            MAX_PARTITIONS - 1)             # (B, N)
-    k_per = jnp.take_along_axis(params.astype(jnp.int64), part_idx, axis=1)
-    kind_per = jnp.take_along_axis(kinds.astype(jnp.int32), part_idx, axis=1)
+    from .rice import part_lookup
+
+    k_per = part_lookup(params.astype(jnp.int64), part_idx)
+    kind_per = part_lookup(kinds.astype(jnp.int32), part_idx)
 
     u = zigzag(res).astype(jnp.int64)
     rb = rice_bits.astype(jnp.int64)[:, None]              # 4 or 5

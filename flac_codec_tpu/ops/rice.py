@@ -40,6 +40,17 @@ def zigzag(res: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(res < 0, ((-res - 1) << 1) + 1, res << 1).astype(jnp.uint64)
 
 
+def part_lookup(table: jnp.ndarray, part_idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample partition-table lookup: (B, 64) table x (B, N) indices
+    -> (B, N).  A 64-way select-accumulate on purpose: take_along_axis
+    lowers to a per-element gather on TPU (measured ~100x slower than
+    the equivalent elementwise chain)."""
+    out = jnp.zeros(part_idx.shape, table.dtype)
+    for p in range(MAX_PARTITIONS):
+        out = out + jnp.where(part_idx == p, table[:, p:p + 1], 0)
+    return out
+
+
 def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
            max_partition_order: int, rice_max: int):
     """Choose partition order + per-partition coding for a batch.
@@ -131,12 +142,13 @@ def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
     po = jnp.argmin(est, axis=1)  # ties -> lowest order
     fallback = jnp.min(est, axis=1) >= BIG  # all candidates dropped
 
-    kinds_all = jnp.stack([k for k, _ in plans], axis=1)   # (B, npo, 64)
-    params_all = jnp.stack([p for _, p in plans], axis=1)  # (B, npo, 64)
-    kinds = jnp.take_along_axis(
-        kinds_all, po[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    params = jnp.take_along_axis(
-        params_all, po[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    # level selection as a masked chain (gather avoidance, see part_lookup)
+    kinds = plans[0][0]
+    params = plans[0][1]
+    for lvl in range(1, len(plans)):
+        m = (po == lvl)[:, None]
+        kinds = jnp.where(m, plans[lvl][0], kinds)
+        params = jnp.where(m, plans[lvl][1], params)
 
     # fallback: single partition escaped at 31 bits
     # (reference: src/encode.rs:3887-3895)
@@ -156,9 +168,8 @@ def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
     # map each sample position to its partition index under the chosen order
     part_idx = jnp.minimum(pos[None, :] // part_len_chosen[:, None],
                            MAX_PARTITIONS - 1)
-    k_per_sample = jnp.take_along_axis(params.astype(jnp.int64), part_idx, axis=1)
-    kind_per_sample = jnp.take_along_axis(
-        kinds.astype(jnp.int32), part_idx, axis=1)
+    k_per_sample = part_lookup(params.astype(jnp.int64), part_idx)
+    kind_per_sample = part_lookup(kinds.astype(jnp.int32), part_idx)
     in_res = pos[None, :] >= order[:, None]
 
     u = zigzag(res).astype(jnp.int64)

@@ -32,10 +32,11 @@ from ..ops.predict_pallas import pallas_predict_ok, predict_batch_pallas
 from ..utils import trace
 
 
-@partial(jax.jit, static_argnames=("block_size", "mode", "taps", "limbs"))
+@partial(jax.jit, static_argnames=("block_size", "mode", "taps", "limbs",
+                                   "mesh"))
 def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
                         block_size: int, mode: str = "scan",
-                        taps: int = 32, limbs: int = 2):
+                        taps: int = 32, limbs: int = 2, mesh=None):
     """(B, C, N) raw subframes -> (B, C, N) int32 PCM, all on device.
 
     mode "fixed": every subframe is FIXED-compatible (shift 0, taps equal
@@ -44,16 +45,35 @@ def _device_reconstruct(buf, qcoeffs, shift, order, wasted, assignment,
     mode "pallas": the VMEM-resident Pallas kernel, int32 end-to-end —
     callers must have checked `pallas_predict_ok` (exactness gate), which
     also chooses `limbs` (2 for 16-bit-class batches, 3 for 24-bit).
+
+    ``mesh``: optional jax.sharding.Mesh whose FIRST axis shards the
+    batch.  GSPMD cannot partition a pallas_call, so the kernel is run
+    per-device via shard_map (B must divide by the axis size); the
+    surrounding shift/decorrelation math partitions normally.
     """
     B, C, N = buf.shape
     if mode == "pallas":
         flat = buf.reshape(B * C, N).astype(jnp.int32)
-        out = predict_batch_pallas(flat,
-                                   qcoeffs.reshape(B * C, 32),
-                                   shift.reshape(B * C),
-                                   order.reshape(B * C),
-                                   block_size, taps=taps, limbs=limbs,
-                                   interpret=jax.default_backend() != "tpu")
+        qc = qcoeffs.reshape(B * C, 32)
+        sh = shift.reshape(B * C)
+        od = order.reshape(B * C)
+        interp = jax.default_backend() != "tpu"
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            ax = mesh.axis_names[0]
+            out = shard_map(
+                partial(predict_batch_pallas, block_size=block_size,
+                        taps=taps, limbs=limbs, interpret=interp),
+                mesh=mesh,
+                in_specs=(P(ax, None), P(ax, None), P(ax), P(ax)),
+                out_specs=P(ax, None), check_rep=False,
+            )(flat, qc, sh, od)
+        else:
+            out = predict_batch_pallas(flat, qc, sh, od, block_size,
+                                       taps=taps, limbs=limbs,
+                                       interpret=interp)
         # int32 is exact for the whole gated pipeline (samples < 2^25
         # even in the 24-bit mode, mid-side sums < 2^26)
         out = jax.lax.shift_left(
@@ -106,7 +126,8 @@ class BatchDecoder:
     FLAC_TPU_NO_PALLAS=1 to force the exact int64 scan path.
     """
 
-    def __init__(self, fp_or_path, batch_frames: int = 256, mesh=None):
+    def __init__(self, fp_or_path, batch_frames: int = 256, mesh=None,
+                 device_parse: Optional[bool] = None):
         # exact int64 accumulators in the inverse-LPC recurrence; without
         # x64 JAX silently truncates to int32 (wrong decodes above 16-bit).
         # This flips a process-global flag; warn so callers running f32
@@ -131,6 +152,20 @@ class BatchDecoder:
         self.block_size = si.maximum_block_size
         self._native_ok = (si.minimum_block_size == si.maximum_block_size
                            and si.maximum_block_size > 0)
+        # full-device decode: host does frame-boundary scan + CRC only,
+        # the device parses frame bodies bit-serially (ops/framescan.py)
+        # and feeds the predict kernel without any host Rice decode.
+        if device_parse is None:
+            env = os.environ.get("FLAC_TPU_DEVICE_PARSE")
+            if env is not None:
+                device_parse = env not in ("0", "false", "no")
+            else:
+                device_parse = (jax.default_backend() == "tpu"
+                                or os.environ.get("FLAC_TPU_PALLAS")
+                                == "force")
+        self._device_parse = (device_parse and self._native_ok
+                              and si.bits_per_sample <= 24
+                              and self.mesh is None)
         self._profiler = trace.profiler_session("batch-decode")
         self._profiler.__enter__()
 
@@ -157,6 +192,86 @@ class BatchDecoder:
     def __exit__(self, *exc):
         self.close()
 
+    def _read_batch_device_parse(self):
+        """Full-device decode step: host scans frame boundaries (sync +
+        CRC-8/16, no residual decode), the device parses frame bodies and
+        runs the inverse predictors.  Returns (pcm, blocks), None at end
+        of stream, or the string "fallback" when this batch needs the
+        host parser (short tail, hostile construct, oversized frame)."""
+        from .. import native
+        from ..ops import framescan
+        from ..ops.predict_pallas import _limb_bits
+
+        dec = self.decoder
+        si = dec.streaminfo
+        nat = native.load()
+        buf = dec.r.np_view()
+        total = dec.total_samples
+        remaining = None if total is None else total - dec.current_sample
+        if remaining is not None and remaining <= 0:
+            return None
+        n_req = min(self.batch_frames, framescan.LANES)
+        with trace.stage("decode.scan", frames=n_req):
+            scan = nat.scan_frames(
+                buf, dec.r.pos, n_req, si.sample_rate, si.channels,
+                si.bits_per_sample, self.block_size, remaining)
+        B = scan["n"]
+        if B == 0:
+            return "fallback"
+        # bucket the word-panel width (and the batch) so XLA compiles a
+        # bounded set of executables per stream shape
+        max_bytes = int(scan["body_bytes"].max())
+        W = max(framescan.WCHUNK * 8, -(-max_bytes // 4))
+        W = 1 << (W - 1).bit_length()
+        bucket = framescan.LANES
+        while bucket // 2 >= B and bucket > 64:
+            bucket //= 2
+        with trace.stage("decode.gather", frames=B):
+            panel = np.zeros((framescan.LANES, W * 4), np.uint8)
+            off, nb = scan["body_off"], scan["body_bytes"]
+            for f in range(B):
+                o = int(off[f])
+                panel[f, :nb[f]] = buf[o:o + int(nb[f])]
+            words = np.ascontiguousarray(
+                panel.view(">u4").astype(np.uint32).T)
+            nbits = np.zeros(framescan.LANES, np.int32)
+            nbits[:B] = nb.astype(np.int64) * 8
+            assign = np.zeros(framescan.LANES, np.int32)
+            assign[:B] = scan["assignment"]
+        with trace.stage("decode.parse_device", frames=B):
+            parsed = framescan.parse_frame_bodies(
+                jnp.asarray(words), jnp.asarray(nbits), jnp.asarray(assign),
+                self.block_size, si.channels, si.bits_per_sample,
+                interpret=jax.default_backend() != "tpu")
+            gate = np.asarray(framescan.parse_gate(
+                parsed, jnp.asarray(nbits > 0)))
+        if not gate[0]:
+            return "fallback"  # malformed-but-CRC-valid lane: host errors
+        dec.r.pos = scan["end_bitpos"]
+        dec.current_sample += int(scan["blocks"].sum())
+
+        order_max, xmax, smax, qmax = (int(gate[1]), int(gate[2]),
+                                       int(gate[3]), int(gate[4]))
+        taps = next(t for t in (4, 8, 12, 16, 32) if t >= order_max)
+        L = _limb_bits(taps)
+        mode, limbs = "scan", 2
+        if ((jax.default_backend() == "tpu"
+             or os.environ.get("FLAC_TPU_PALLAS") == "force")
+                and not os.environ.get("FLAC_TPU_NO_PALLAS")
+                and qmax < (1 << 14) and int(gate[5]) >= 0):
+            if (si.bits_per_sample <= 16 and xmax < (1 << 17)
+                    and smax <= L):
+                mode, limbs = "pallas", 2
+            elif si.bits_per_sample <= 24 and xmax < (1 << 25):
+                mode, limbs = "pallas", 3
+        args = [parsed["buf"][:bucket], parsed["qcoeffs"][:bucket],
+                parsed["shift"][:bucket], parsed["order"][:bucket],
+                parsed["wasted"][:bucket], jnp.asarray(assign[:bucket])]
+        with trace.stage("decode.reconstruct", frames=B, mode=mode):
+            pcm = _device_reconstruct(*args, self.block_size, mode=mode,
+                                      taps=taps, limbs=limbs)
+        return pcm[:B], scan["blocks"]
+
     def read_batch_device(self):
         """Decode up to batch_frames frames; returns a device array
         (B, channels, block_size) int32 (and the per-frame sample counts),
@@ -173,6 +288,13 @@ class BatchDecoder:
             if frame is None:
                 return None
             return jnp.asarray(frame[None]), np.array([frame.shape[1]])
+
+        if self._device_parse:
+            got = self._read_batch_device_parse()
+            if got != "fallback":
+                return got
+            # fall through: host parse raises precise errors / handles
+            # short tails and hostile constructs frame-at-a-time
 
         buf = dec.r.np_view()
         total = dec.total_samples
@@ -201,6 +323,9 @@ class BatchDecoder:
         mask = fixed_compatible_mask(raw["qcoeffs"].reshape(n * C, 32),
                                      raw["shift"].reshape(n * C),
                                      raw["order"].reshape(n * C))
+        batch_axis = (self.mesh.shape[self.mesh.axis_names[0]]
+                      if self.mesh is not None else 1)
+        sharded = self.mesh is not None and raw["n"] % batch_axis == 0
         limbs = 2
         if mask.all():
             mode, taps = "fixed", 32
@@ -209,30 +334,30 @@ class BatchDecoder:
             max_order = int(raw["order"].max())
             taps = next(t for t in (4, 8, 12, 16, 32) if t >= max_order)
             # the Pallas VMEM kernel when the batch is in its exactness
-            # domain (16/24-bit-class samples) and we are on a real TPU
-            # without a mesh (GSPMD cannot partition the kernel);
+            # domain (16/24-bit-class samples); under a mesh the kernel
+            # runs per-device via shard_map (GSPMD cannot partition a
+            # pallas_call) whenever the batch shards evenly.
             # FLAC_TPU_PALLAS=force engages it off-TPU through the Pallas
             # interpreter (slow — integration testing only)
             want = (jax.default_backend() == "tpu"
                     or os.environ.get("FLAC_TPU_PALLAS") == "force")
-            if (want and self.mesh is None
+            if (want and (self.mesh is None or sharded)
                     and not os.environ.get("FLAC_TPU_NO_PALLAS")):
                 limbs = pallas_predict_ok(
                     raw["buf"], raw["qcoeffs"], raw["shift"],
                     raw["order"], si.bits_per_sample, taps)
                 if limbs:
                     mode = "pallas"
-        batch_axis = (self.mesh.shape[self.mesh.axis_names[0]]
-                      if self.mesh is not None else 1)
-        if self.mesh is not None and raw["n"] % batch_axis == 0:
+        if sharded:
             from .mesh import shard_batch
 
             args = [shard_batch(self.mesh, a) for a in args]
         else:
             args = [jnp.asarray(a) for a in args]
         with trace.stage("decode.reconstruct", frames=raw["n"], mode=mode):
-            pcm = _device_reconstruct(*args, self.block_size, mode=mode,
-                                      taps=taps, limbs=limbs)
+            pcm = _device_reconstruct(
+                *args, self.block_size, mode=mode, taps=taps, limbs=limbs,
+                mesh=self.mesh if (sharded and mode == "pallas") else None)
         return pcm, raw["blocks"]
 
     def read_batch_interleaved(self):

@@ -316,7 +316,13 @@ class Native:
         err = np.zeros(1, dtype=np.uint32)
         rem = (1 << 64) - 1 if remaining_samples is None else remaining_samples
         if nthreads == 0:
-            nthreads = min(16, os.cpu_count() or 1)
+            # the speculative frame-parallel decoder pays a serial
+            # candidate pre-scan + reconciliation; below 4 cores that
+            # overhead outweighs the parallel span decode (measured:
+            # 2 threads on a 1-core host decode ~5% SLOWER than 1), so
+            # auto mode stays sequential on small hosts
+            ncores = os.cpu_count() or 1
+            nthreads = min(16, ncores) if ncores >= 4 else 1
         n = self._lib.nat_decode_frames_mt(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
             start_bitpos, n_frames, sample_rate, channels, bps, max_block,

@@ -297,7 +297,19 @@ class Verified(Enum):
 
 
 def verify(path_or_fp) -> Verified:
-    """Full-decode + MD5 compare (reference: src/decode.rs:1270-1309)."""
+    """Full-decode + MD5 compare (reference: src/decode.rs:1270-1309).
+
+    >>> import io
+    >>> from flac_codec_tpu.encode import FlacSampleWriter, Options
+    >>> from flac_codec_tpu.decode import verify, Verified
+    >>> buf = io.BytesIO()
+    >>> opts = Options().with_block_size(16).no_seektable()
+    >>> with FlacSampleWriter(buf, opts, 44100, 16, 1,
+    ...                       total_samples=16) as w:
+    ...     w.write(list(range(16)))
+    >>> verify(io.BytesIO(buf.getvalue())) == Verified.MD5_MATCH
+    True
+    """
     if isinstance(path_or_fp, (str, bytes)):
         with open(path_or_fp, "rb") as fp:
             return verify(fp)
@@ -316,7 +328,23 @@ def verify(path_or_fp) -> Verified:
 
 
 class FlacSampleReader:
-    """Interleaved i32 sample reader (reference: src/decode.rs:374-713)."""
+    """Interleaved i32 sample reader (reference: src/decode.rs:374-713).
+
+    Example (seek to a sample position, mirrors decode.rs:819-861):
+
+    >>> import io
+    >>> from flac_codec_tpu.encode import FlacSampleWriter, Options
+    >>> from flac_codec_tpu.decode import FlacSampleReader
+    >>> buf = io.BytesIO()
+    >>> opts = Options().with_block_size(16).no_seektable()
+    >>> with FlacSampleWriter(buf, opts, 44100, 16, 1,
+    ...                       total_samples=64) as w:
+    ...     w.write(list(range(64)))
+    >>> r = FlacSampleReader(io.BytesIO(buf.getvalue()))
+    >>> r.seek(40)
+    >>> r.read(3).tolist()
+    [40, 41, 42]
+    """
 
     def __init__(self, fp_or_path, blocks: Optional[meta.BlockList] = None):
         if isinstance(fp_or_path, (str, bytes)):
@@ -432,7 +460,11 @@ class FlacSampleReader:
 
 class FlacChannelReader:
     """Channel-major (non-interleaved) reader
-    (reference: src/decode.rs:907-1097)."""
+    (reference: src/decode.rs:907-1097).
+
+    Example: see :class:`flac_codec_tpu.encode.FlacChannelWriter` — the
+    two form a channel-major roundtrip pair.
+    """
 
     def __init__(self, fp_or_path, blocks: Optional[meta.BlockList] = None):
         self._owns_fp = isinstance(fp_or_path, (str, bytes))
@@ -509,7 +541,24 @@ class FlacChannelReader:
 
 class FlacByteReader:
     """PCM-bytes reader in a chosen endianness with byte-level seeking
-    (reference: src/decode.rs:103-331, 715-817)."""
+    (reference: src/decode.rs:103-331, 715-817).
+
+    Example (byte-level ``seek`` over decoded PCM, decode.rs:718-816):
+
+    >>> import io
+    >>> from flac_codec_tpu.encode import FlacByteWriter, Options
+    >>> from flac_codec_tpu.decode import FlacByteReader
+    >>> pcm = b"".join(i.to_bytes(2, "little") for i in range(64))
+    >>> buf = io.BytesIO()
+    >>> opts = Options().with_block_size(16).no_seektable()
+    >>> with FlacByteWriter(buf, opts, 44100, 16, 1,
+    ...                     total_bytes=len(pcm)) as w:
+    ...     w.write(pcm)
+    >>> r = FlacByteReader(io.BytesIO(buf.getvalue()))
+    >>> _ = r.seek(20)
+    >>> r.read(4) == pcm[20:24]
+    True
+    """
 
     def __init__(self, fp_or_path, big_endian: bool = False,
                  blocks: Optional[meta.BlockList] = None):

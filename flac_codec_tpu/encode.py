@@ -50,7 +50,18 @@ MAX_SAMPLES = 1 << 36  # reference: src/encode.rs:1880
 @dataclass
 class Options:
     """Encoder options; defaults mirror the reference's
-    (reference: src/encode.rs:1376-1408)."""
+    (reference: src/encode.rs:1376-1408).
+
+    Example (builder style; ``fast``/``best`` match src/encode.rs
+    :1635-1657):
+
+    >>> from flac_codec_tpu.encode import Options
+    >>> o = Options.best().with_block_size(1024).no_seektable()
+    >>> (o.block_size, o.max_lpc_order, o.max_partition_order)
+    (1024, 12, 6)
+    >>> Options.fast().max_lpc_order is None
+    True
+    """
 
     block_size: int = 4096
     max_lpc_order: Optional[int] = 8        # None = fixed predictors only
@@ -643,7 +654,23 @@ class Encoder:
 # ---------------------------------------------------------------------------
 
 class FlacSampleWriter:
-    """Interleaved i32 sample writer (reference: src/encode.rs:407-689)."""
+    """Interleaved i32 sample writer (reference: src/encode.rs:407-689).
+
+    Example (encode -> decode roundtrip, mirrors the reference's
+    FlacSampleWriter doc example):
+
+    >>> import io
+    >>> from flac_codec_tpu.encode import FlacSampleWriter, Options
+    >>> from flac_codec_tpu.decode import FlacSampleReader
+    >>> buf = io.BytesIO()
+    >>> opts = Options().with_block_size(16).no_seektable()
+    >>> with FlacSampleWriter(buf, opts, 44100, 16, 2,
+    ...                       total_samples=4) as w:
+    ...     w.write([0, 0, -1, 1, 100, -100, 32767, -32768])
+    >>> with FlacSampleReader(io.BytesIO(buf.getvalue())) as r:
+    ...     r.read(8).tolist()
+    [0, 0, -1, 1, 100, -100, 32767, -32768]
+    """
 
     def __init__(self, fp_or_path, options: Options, sample_rate: int,
                  bits_per_sample: int, channels: int,
@@ -726,7 +753,22 @@ class FlacSampleWriter:
 
 
 class FlacChannelWriter:
-    """Channel-major writer (reference: src/encode.rs:691-1004)."""
+    """Channel-major writer (reference: src/encode.rs:691-1004).
+
+    Example:
+
+    >>> import io
+    >>> from flac_codec_tpu.encode import FlacChannelWriter, Options
+    >>> from flac_codec_tpu.decode import FlacChannelReader
+    >>> buf = io.BytesIO()
+    >>> opts = Options().with_block_size(16).no_seektable()
+    >>> with FlacChannelWriter(buf, opts, 44100, 16, 2,
+    ...                        total_samples=3) as w:
+    ...     w.write([[1, 2, 3], [-1, -2, -3]])
+    >>> with FlacChannelReader(io.BytesIO(buf.getvalue())) as r:
+    ...     [c.tolist() for c in r.fill_buf()]
+    [[1, 2, 3], [-1, -2, -3]]
+    """
 
     def __init__(self, fp_or_path, options: Options, sample_rate: int,
                  bits_per_sample: int, channels: int,
@@ -786,7 +828,22 @@ class FlacChannelWriter:
 
 
 class FlacByteWriter:
-    """PCM-bytes writer (reference: src/encode.rs:103-405)."""
+    """PCM-bytes writer (reference: src/encode.rs:103-405).
+
+    Example (little-endian 16-bit PCM bytes in, identical bytes back):
+
+    >>> import io
+    >>> from flac_codec_tpu.encode import FlacByteWriter, Options
+    >>> from flac_codec_tpu.decode import FlacByteReader
+    >>> pcm = (1000).to_bytes(2, "little", signed=True) * 4
+    >>> buf = io.BytesIO()
+    >>> opts = Options().with_block_size(16).no_seektable()
+    >>> with FlacByteWriter(buf, opts, 44100, 16, 2,
+    ...                     total_bytes=len(pcm)) as w:
+    ...     w.write(pcm)
+    >>> FlacByteReader(io.BytesIO(buf.getvalue())).read() == pcm
+    True
+    """
 
     def __init__(self, fp_or_path, options: Options, sample_rate: int,
                  bits_per_sample: int, channels: int,
@@ -850,7 +907,21 @@ class FlacByteWriter:
 class FlacStreamWriter:
     """Metadata-less per-call frame writer (reference:
     src/encode.rs:1006-1290).  Subset streams only; parameters may change
-    per call; rice2 iff bps > 16; frame number wraps at max."""
+    per call; rice2 iff bps > 16; frame number wraps at max.
+
+    Example (mirrors the reference's FlacStreamWriter doc example):
+
+    >>> import io
+    >>> from flac_codec_tpu.encode import FlacStreamWriter
+    >>> from flac_codec_tpu.decode import FlacStreamReader
+    >>> raw = io.BytesIO()
+    >>> w = FlacStreamWriter(raw)
+    >>> w.write(list(range(32)), 44100, 16, 1)
+    >>> _ = raw.seek(0)
+    >>> frame = FlacStreamReader(raw).read_frame()
+    >>> (frame.sample_rate, frame.channels, frame.samples[:4].tolist())
+    (44100, 1, [0, 1, 2, 3])
+    """
 
     def __init__(self, fp: BinaryIO, options: Optional[Options] = None):
         self.fp = fp

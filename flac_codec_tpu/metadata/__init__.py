@@ -223,7 +223,27 @@ def read_block(path: str, cls: Type):
 
 def update(path: str, f: Callable[[BlockList], None]) -> None:
     """Read blocks from ``path``, apply ``f``, and write back — in place
-    when PADDING can absorb the size change, else rebuilding the file."""
+    when PADDING can absorb the size change, else rebuilding the file.
+
+    Example (mirrors the reference's metadata::update doc,
+    src/metadata/mod.rs:988-1006):
+
+    >>> import io, tempfile, os
+    >>> from flac_codec_tpu import metadata as meta
+    >>> from flac_codec_tpu.encode import FlacSampleWriter, Options
+    >>> fd, path = tempfile.mkstemp(suffix=".flac"); os.close(fd)
+    >>> with FlacSampleWriter(path, Options().with_block_size(16)
+    ...                       .no_seektable(), 44100, 16, 1,
+    ...                       total_samples=16) as w:
+    ...     w.write(list(range(16)))
+    >>> def set_title(blocks):
+    ...     blocks.update(meta.VorbisComment,
+    ...                   lambda vc: vc.set("TITLE", "doctest"))
+    >>> meta.update(path, set_title)
+    >>> meta.read_block(path, meta.VorbisComment).get("TITLE")
+    'doctest'
+    >>> os.unlink(path)
+    """
 
     def rebuilt(blocklist: BlockList, old_metadata_len: int) -> None:
         tmp = path + ".flac-tmp"

@@ -4,9 +4,9 @@
 Headline value = sustained device encode-step throughput (MB/s of PCM per
 chip) for the full batched planner+packer at preset -8 (block 4096, LPC 12,
 partition order 6, exhaustive stereo search, device-side Rice bit packing),
-measured steady-state on device-resident batches with pipelined dispatch —
-the per-chip number the production pipeline sustains when host I/O overlaps
-device compute.
+measured steady-state on device-resident batches with dependency-chained
+dispatch and a hard sync — the per-chip number the production pipeline
+sustains when host I/O overlaps device compute.
 
 Secondary fields report the end-to-end file encode rate through this host's
 device link.  On the benchmarking host the TPU is attached through a
@@ -17,13 +17,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Uses the persistent compilation cache in .jax_cache so repeat runs skip
 the slow first compile.
 
-Methodology note: steady-state step times were cross-checked against a
-dependency-chained measurement (each step consumes the previous step's
-output with a unique perturbation, forcing strictly serial execution with
-never-repeating inputs); warm-allocator chained-unique timing agrees with
-the pipelined-dispatch timing here (~0.03 ms per 256-frame batch).  The
-only systematic effect found is allocator first-touch cost on new buffer
-size classes, which the warmup loops absorb.
+Methodology (round 3): every device timing uses DEPENDENCY-CHAINED
+dispatch (each step's input is derived from the previous step's output,
+so no runtime layer can serve a cached result) and is fenced with a
+SCALAR-DOWNLOAD sync (``float(x.sum())``).  ``jax.block_until_ready`` is
+NOT a reliable fence through the tunneled runtime — it acks enqueue
+early, which made round 2's step times measure dispatch latency instead
+of execution (the recorded 230 GB/s encode step is actually ~0.16 GB/s;
+see BASELINE.md "round-3 corrections").
 """
 
 import io
@@ -70,7 +71,8 @@ def make_audio(n_samples: int, seed: int = 0) -> np.ndarray:
 
 def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
                      pack_budget: int, reps: int, chain: int) -> tuple:
-    """Steady-state device step rate on resident data, pipelined dispatch."""
+    """Honest steady-state device step rate: dependency-chained dispatch
+    with a scalar-download sync (see module methodology note)."""
     N = opts.block_size
     inter = make_audio(N * batch_frames)  # returns interleaved stereo, 2x len
     pcm = inter.reshape(batch_frames, N, 2).transpose(0, 2, 1)
@@ -81,20 +83,25 @@ def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
               mid_side=opts.mid_side,
               exhaustive=opts.exhaustive_channel_correlation,
               analysis=analysis, pack_budget=pack_budget)
-    # distinct input buffers cycled through the chain, so no layer can
-    # serve a cached result for a repeated (executable, buffer) pair
-    nvar = 4
-    variants = [jnp.asarray(np.roll(pcm, v + 1, axis=0) + v) for v in
-                range(nvar)]
-    blob = encode_frames_plan_blob(variants[0], **kw)
-    jax.block_until_ready(blob)  # compile + warm
+
+    @jax.jit
+    def step(x):
+        blob = encode_frames_plan_blob(x, **kw)
+        # chain: the next input depends on this step's output, so no
+        # runtime layer can serve a cached result for a repeated pair
+        return x ^ (blob[:8].astype(jnp.int32).sum() & 1).astype(x.dtype)
+
+    x = jnp.asarray(pcm)
+    x = step(x)
+    x = step(x)
+    float(jnp.abs(x).sum())  # real fence: scalar download
     pcm_mb = batch_frames * N * 2 * 2 / 1e6  # bytes of 16-bit PCM
     best = None
     for _ in range(reps):
         t0 = time.time()
-        for i in range(chain):  # pipelined dispatch amortizes RPC latency
-            blob = encode_frames_plan_blob(variants[i % nvar], **kw)
-        jax.block_until_ready(blob)
+        for _ in range(chain):
+            x = step(x)
+        float(jnp.abs(x).sum())
         dt = (time.time() - t0) / chain
         best = dt if best is None else min(best, dt)
     return pcm_mb / best, best * 1e3
@@ -208,23 +215,29 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
                                raw["order"], si2.bits_per_sample, taps)
              if jax.default_backend() == "tpu" else 0)
     mode = "pallas" if limbs else "scan"
-    variants = []
-    for v in range(4):
-        variants.append([jnp.asarray(np.roll(raw[k], v + 1, axis=0))
-                         for k in ("buf", "qcoeffs", "shift", "order",
-                                   "wasted", "assignment")])
-    step = partial(_device_reconstruct, block_size=bd.block_size,
-                   mode=mode, taps=taps, limbs=limbs or 2)
-    for a in variants:
-        jax.block_until_ready(step(*a))
+    args = [jnp.asarray(raw[k]) for k in ("qcoeffs", "shift", "order",
+                                          "wasted", "assignment")]
+
+    @jax.jit
+    def step(buf):
+        # honest chained step: the next input depends on this output
+        # (low bit perturbation keeps the Pallas gate's domain intact)
+        pcm = _device_reconstruct(buf, *args, bd.block_size, mode=mode,
+                                  taps=taps, limbs=limbs or 2)
+        return buf ^ (pcm.sum() & 1).astype(buf.dtype)
+
+    x = jnp.asarray(raw["buf"])
+    x = step(x)
+    x = step(x)
+    float(jnp.abs(x).sum())
     dev_mb = B * C * N * 2 / 1e6
     dev_best = None
-    for _ in range(6):
+    for _ in range(4):
         t0 = time.perf_counter()
-        for i in range(8):
-            out = step(*variants[i % 4])
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / 8
+        for _ in range(6):
+            x = step(x)
+        float(jnp.abs(x).sum())
+        dt = (time.perf_counter() - t0) / 6
         dev_best = dt if dev_best is None else min(dev_best, dt)
     bd.close()
     return host_rate, dev_mb / dev_best, sweep
@@ -329,9 +342,9 @@ def main() -> None:
         "vs_baseline": round(mbps / BASELINE_MBPS, 3),
         "device_step_ms": round(step_ms, 3),
         "batch_frames": batch_frames,
-        "note": ("sustained device encode step (plan+pack) on resident "
-                 "batches; end_to_end_mbps includes this host's tunneled "
-                 "device link (~20 MB/s down)"),
+        "note": ("honest device encode step (plan+pack), dependency-"
+                 "chained with scalar-download sync; end_to_end_mbps "
+                 "includes this host's tunneled device link"),
     }
     if e2e is not None:
         out["end_to_end_mbps"] = round(e2e, 1)

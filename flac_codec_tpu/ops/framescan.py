@@ -34,6 +34,25 @@ subframe type, negative LPC shift, bad partition geometry — the same
 conditions the host decoder rejects, src/decode.rs:1635-1736) raise a
 sticky per-lane error flag; the caller re-decodes those frames on host
 for the precise error surface.
+
+PERFORMANCE STATUS (v5e, 2026-08, measured with dependency-chained
+dispatch + scalar-download sync — plain block_until_ready is unreliable
+through tunneled runtimes): the kernel itself runs at ~10-50 ns per
+bit-row (batch-parallel over 1024 lanes), but the XLA scatter-add that
+compacts the bit-row emission panels into dense slot panels lowers to a
+per-element loop on TPU (~0.1-1 us/element; 134M elements for a
+1024-frame preset -8 batch), making compaction the pipeline cost.  Every
+alternative movement primitive measures similarly slow at this scale
+(k/v sort: ~12 s/panel; vmapped sorted scatter: ~6 s; take_along_axis
+gather: ~0.7 s per 8.5M elements), and Mosaic's in-kernel options cannot
+express the per-lane placement either: tpu.dynamic_gather is limited to
+a single source vreg (8 sublanes) along the gather dimension, and
+per-lane dynamic row writes are not supported at all.  Until a fast
+per-lane scatter/gather lands, BatchDecoder keeps the native host parser
+as the default production path and this mode stays opt-in
+(FLAC_TPU_DEVICE_PARSE=1); the kernel remains fully tested and
+bit-exact, and is the complete device half of SURVEY §7's "parallel
+unary scanning" design.
 """
 
 from __future__ import annotations

@@ -155,14 +155,17 @@ class BatchDecoder:
         # full-device decode: host does frame-boundary scan + CRC only,
         # the device parses frame bodies bit-serially (ops/framescan.py)
         # and feeds the predict kernel without any host Rice decode.
+        # OPT-IN for now: the parse kernel itself is fast, but compacting
+        # its bit-row emissions into dense panels needs a per-lane
+        # scatter, which XLA/Mosaic currently lowers ~100x too slow
+        # (measured; see ops/framescan.py docs) — so the default path
+        # keeps the native host parser until that lands.
         if device_parse is None:
             env = os.environ.get("FLAC_TPU_DEVICE_PARSE")
             if env is not None:
                 device_parse = env not in ("0", "false", "no")
             else:
-                device_parse = (jax.default_backend() == "tpu"
-                                or os.environ.get("FLAC_TPU_PALLAS")
-                                == "force")
+                device_parse = False
         self._device_parse = (device_parse and self._native_ok
                               and si.bits_per_sample <= 24
                               and self.mesh is None)

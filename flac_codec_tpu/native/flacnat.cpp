@@ -1781,6 +1781,27 @@ int64_t nat_parse_frames_raw(
                           0) != expected) { *error = DEC_CRC16; break; }
         }
 
+        if (fbps >= 26) {
+            // the device buffers are int32; residuals of wide streams
+            // are int32 for any stream our/the reference encoder emits
+            // (their encoders abort on i32 residual overflow), but a
+            // hostile valid stream can exceed it — leave such frames to
+            // the caller's int64 scalar path instead of wrapping
+            bool fits = true;
+            for (uint32_t c = 0; c < ch_count && fits; c++) {
+                const int64_t* src_ch = chbuf.data() + (size_t)c * fr_block;
+                for (uint32_t i = 0; i < fr_block; i++)
+                    if (src_ch[i] < INT32_MIN || src_ch[i] > INT32_MAX) {
+                        fits = false;
+                        break;
+                    }
+            }
+            if (!fits) {
+                *error = DEC_PARAMS;
+                g.set_pos(frame_start_byte * 8);
+                break;
+            }
+        }
         for (uint32_t c = 0; c < ch_count; c++) {
             size_t fc = (size_t)f * channels + c;
             out_order[fc] = (uint8_t)raws[c].order;

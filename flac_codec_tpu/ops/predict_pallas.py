@@ -31,6 +31,9 @@ host-side gate `pallas_predict_ok` holds:
   * 3-limb: |x| < 2^25 (any spec-conforming stream with
     bits-per-sample <= 24, side channels included) — one extra multiply
     per tap
+  * 4-limb (11-bit limbs): |x| < 2^31 — 32-bit-wide samples, any shift,
+    two extra multiplies per tap; 33-bit side channels remain on the
+    int64 scan (int32 buffers cannot carry them)
   * |q| < 2^14 (4-bit precision code => <= 15-bit signed coefficients)
   * 2-limb additionally needs shift <= L for every LPC row
     (L = 13 for tap buckets <= 16, 12 for the 32-tap bucket); the 3-limb
@@ -79,6 +82,12 @@ def _limb_bits(taps: int) -> int:
     return 13 if taps <= 16 else 12
 
 
+# the 4-limb (32-bit-wide samples) mode uses fixed 11-bit limbs:
+# 4*11 = 44 >= 32 sample bits, and each partial sum stays below
+# 32 taps * 2^14 * 2^11 = 2^30 < 2^31
+LIMB4 = 11
+
+
 def _kernel(n_samples: int, t_taps: int, limb: int, limbs: int):
     mask = (1 << limb) - 1
     T = t_taps
@@ -102,23 +111,57 @@ def _kernel(n_samples: int, t_taps: int, limb: int, limbs: int):
             # tap j multiplies out[n-1-j] = out_ref row T+n-1-j = n+(T-1-j)
             h = out_ref[n + (T - 1), :]
             q0 = qs_ref[0, :]
-            if limbs == 3:
+            if limbs == 4:
+                m4 = (1 << LIMB4) - 1
+                s0 = q0 * (h & m4)
+                s1 = q0 * ((h >> LIMB4) & m4)
+                s2 = q0 * ((h >> (2 * LIMB4)) & m4)
+                s3 = q0 * (h >> (3 * LIMB4))
+            elif limbs == 3:
                 s_hi = q0 * (h >> (limb + 12))
                 s_mid = q0 * ((h >> limb) & 0xFFF)
             else:
                 s_hi = q0 * (h >> limb)
                 s_mid = None
-            s_lo = q0 * (h & mask)
+            if limbs != 4:
+                s_lo = q0 * (h & mask)
             for j in range(1, T):
                 h = out_ref[n + (T - 1 - j), :]
                 qj = qs_ref[j, :]
+                if limbs == 4:
+                    s0 = s0 + qj * (h & m4)
+                    s1 = s1 + qj * ((h >> LIMB4) & m4)
+                    s2 = s2 + qj * ((h >> (2 * LIMB4)) & m4)
+                    s3 = s3 + qj * (h >> (3 * LIMB4))
+                    continue
                 if limbs == 3:
                     s_hi = s_hi + qj * (h >> (limb + 12))
                     s_mid = s_mid + qj * ((h >> limb) & 0xFFF)
                 else:
                     s_hi = s_hi + qj * (h >> limb)
                 s_lo = s_lo + qj * (h & mask)
-            if limbs == 3:
+            if limbs == 4:
+                # 64-bit accumulator as (hi, lo) int32 pairs:
+                # acc = s3*2^33 + s2*2^22 + s1*2^11 + s0, then an exact
+                # funnel shift; valid for ANY shift 0..31 and any |x|<2^31
+                def add64(hi_a, lo_a, hi_b, lo_b):
+                    lo = lo_a + lo_b
+                    c = (lo.astype(jnp.uint32)
+                         < lo_a.astype(jnp.uint32)).astype(jnp.int32)
+                    return hi_a + hi_b + c, lo
+                hi, lo = s0 >> 31, s0
+                hi, lo = add64(hi, lo, s1 >> (32 - LIMB4), s1 << LIMB4)
+                hi, lo = add64(hi, lo, s2 >> (32 - 2 * LIMB4),
+                               s2 << (2 * LIMB4))
+                hi, lo = add64(hi, lo, s3 << (3 * LIMB4 - 32),
+                               jnp.zeros_like(s3))
+                sh2 = 32 - jnp.maximum(s, 1)
+                res = jnp.where(
+                    s == 0, lo,
+                    (hi << sh2) | (lo.astype(jnp.uint32)
+                                   >> s.astype(jnp.uint32)
+                                   ).astype(jnp.int32))
+            elif limbs == 3:
                 # full 64-bit accumulator as (hi, lo) int32 limb pairs:
                 # acc = S_hi*2^(L+12) + S_mid*2^L + S_lo, then an exact
                 # funnel shift — valid for ANY shift 0..31, which matters
@@ -227,10 +270,14 @@ def pallas_predict_ok(x: np.ndarray, qcoeffs: np.ndarray, shift: np.ndarray,
         return 0
     xmax = int(np.abs(x).max(initial=0))
     # the cheap 2-limb decomposition needs shift <= L; the 3-limb mode
-    # builds the full 64-bit accumulator and takes any shift
+    # builds the full 64-bit accumulator and takes any shift; the 4-limb
+    # mode covers 32-bit-wide samples (any int32-representable input,
+    # one more multiply per tap)
     if (bits_per_sample <= 16 and xmax < 1 << 17
             and (shift[lpc] <= L).all()):
         return 2
     if bits_per_sample <= 24 and xmax < 1 << 25:
         return 3
+    if xmax < 1 << 31:
+        return 4
     return 0

@@ -131,3 +131,33 @@ def test_batch_decoder_pallas_interpret_integration(monkeypatch):
         FlacSampleReader(io.BytesIO(buf.getvalue())).read_to_end())
     got = np.asarray(out).reshape(-1)[: len(ref)]
     np.testing.assert_array_equal(ref, got)
+
+
+def test_batch_decoder_32bit_pallas_4limb(monkeypatch):
+    """32-bit-wide independent-channel streams ride the 4-limb Pallas
+    mode bit-exactly (VERDICT r2 item 6)."""
+    import os
+
+    monkeypatch.setenv("FLAC_TPU_PALLAS", "force")
+    rng = np.random.default_rng(9)
+    n = 256 * 4
+    sig = np.cumsum(rng.integers(-(1 << 24), 1 << 24, 2 * n)) \
+        .astype(np.int64)
+    lim = (1 << 31) - 1
+    inter = np.clip(sig, -lim - 1, lim).astype(np.int64)
+    buf = io.BytesIO()
+    opts = Options().with_block_size(256).no_seektable()
+    w = FlacSampleWriter(buf, opts, 44100, 32, 2, total_samples=n)
+    w.write(inter)
+    w.finalize()
+    with BatchDecoder(io.BytesIO(buf.getvalue()), batch_frames=4) as bd:
+        got = np.asarray(bd.read_all_device())
+    want = []
+    with FlacSampleReader(io.BytesIO(buf.getvalue())) as r:
+        while True:
+            chunk = r.read(65536)
+            if not len(chunk):
+                break
+            want.append(chunk)
+    want = np.concatenate(want).reshape(-1, 2)
+    assert (got == want).all()

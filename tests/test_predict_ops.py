@@ -205,7 +205,42 @@ def test_pallas_gate_modes():
     bad[orders > 0] = 14
     if (orders > 0).any():
         assert pallas_predict_ok(x, q, bad, orders, 16, 16) == 3
-    # 32-bit-wide samples reject
+    # 32-bit-wide samples take the 4-limb mode (round 3)
     x3 = x.copy()
     x3[0, -1] = 1 << 26
-    assert pallas_predict_ok(x3, q, shift, orders, 32, 16) == 0
+    assert pallas_predict_ok(x3, q, shift, orders, 32, 16) == 4
+    # values past int32 (33-bit side channels) still reject
+    x4 = x.copy().astype(np.int64)
+    x4[0, -1] = 1 << 31
+    assert pallas_predict_ok(x4, q, shift, orders, 32, 16) == 0
+
+
+def test_pallas_predict_4limb_32bit_interpret():
+    """32-bit-wide samples take the 4-limb mode (any shift, any
+    int32-representable value; VERDICT r2 item 6)."""
+    from flac_codec_tpu.ops.predict_pallas import (pallas_predict_ok,
+                                                   predict_batch_pallas)
+
+    # near-full-scale 32-bit samples with extreme shifts, plus a
+    # tiny-shift set, plus an order-0 verbatim-ish lane
+    x, q, shift, orders = _stable_lpc_batch(31, 8, 192, max_order=12,
+                                            sample_bits=28, shifts=(12, 16),
+                                            q_bits=12)
+    x2, q2, shift2, orders2 = _stable_lpc_batch(32, 8, 192, max_order=8,
+                                                sample_bits=24, shifts=(1, 4),
+                                                q_bits=5)
+    x = np.concatenate([x, x2]); q = np.concatenate([q, q2])
+    shift = np.concatenate([shift, shift2])
+    orders = np.concatenate([orders, orders2])
+    mode = pallas_predict_ok(x, q, shift, orders, 32, 16)
+    assert mode == 4
+    ref = predict_batch(jnp.asarray(x), jnp.asarray(q),
+                        jnp.asarray(shift), jnp.asarray(orders),
+                        x.shape[1], taps=16)
+    # the inverse recurrence must stay int32-representable for the
+    # wrap-exactness argument; the stable generator guarantees it
+    assert np.abs(np.asarray(ref)).max() < 1 << 31
+    got = predict_batch_pallas(jnp.asarray(x), jnp.asarray(q),
+                               jnp.asarray(shift), jnp.asarray(orders),
+                               x.shape[1], taps=16, limbs=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

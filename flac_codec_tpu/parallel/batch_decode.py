@@ -275,6 +275,41 @@ class BatchDecoder:
                                       taps=taps, limbs=limbs)
         return pcm[:B], scan["blocks"]
 
+    def _read_batch_bulk_host(self, nat):
+        """Variable-block-size streams: decode a whole batch with one
+        native bulk call (which handles per-frame sizes) and upload the
+        padded batch — removing the old silent frame-at-a-time fallback
+        for `all-frames.flac`-class streams (VERDICT r2 item 5)."""
+        dec = self.decoder
+        si = dec.streaminfo
+        total = dec.total_samples
+        remaining = None if total is None else total - dec.current_sample
+        if remaining is not None and remaining <= 0:
+            return None
+        max_block = si.maximum_block_size or 65535
+        with trace.stage("decode.bulk_host", frames=self.batch_frames):
+            out, sizes, end, err = nat.decode_frames(
+                dec.r.np_view(), dec.r.pos, self.batch_frames,
+                si.sample_rate, si.channels, si.bits_per_sample,
+                max_block, remaining, nthreads=1)
+        if len(sizes) == 0:
+            # error or EOF: the Python path raises the precise error
+            frame = dec.read_frame()
+            if frame is None:
+                return None
+            return jnp.asarray(frame[None]), np.array([frame.shape[1]])
+        dec.r.pos = end
+        dec.current_sample += int(sizes.sum())
+        B, C = len(sizes), si.channels
+        N = int(sizes.max())
+        pcm = np.zeros((B, C, N), np.int32)
+        pos = 0
+        for b, n in enumerate(sizes):
+            n = int(n)
+            pcm[b, :, :n] = out[pos:pos + n * C].reshape(n, C).T
+            pos += n * C
+        return jnp.asarray(pcm), sizes
+
     def read_batch_device(self):
         """Decode up to batch_frames frames; returns a device array
         (B, channels, block_size) int32 (and the per-frame sample counts),
@@ -286,11 +321,16 @@ class BatchDecoder:
         dec = self.decoder
         si = dec.streaminfo
         nat = native.load()
-        if nat is None or not self._native_ok:
+        if nat is None:
             frame = dec.read_frame()
             if frame is None:
                 return None
             return jnp.asarray(frame[None]), np.array([frame.shape[1]])
+        if not self._native_ok:
+            # irregular (variable-block-size) stream: still batch mode —
+            # one native bulk decode per batch (the bulk decoder handles
+            # per-frame sizes), padded to the largest frame
+            return self._read_batch_bulk_host(nat)
 
         if self._device_parse:
             got = self._read_batch_device_parse()
@@ -365,16 +405,23 @@ class BatchDecoder:
 
     def read_batch_interleaved(self):
         """One decoded batch as a ((samples, channels) device array) with
-        tail padding trimmed (FLAC's only-last-frame-short invariant), or
-        None at end of stream."""
+        padding trimmed, or None at end of stream."""
         got = self.read_batch_device()
         if got is None:
             return None
         pcm, blocks = got
-        flat = jnp.swapaxes(pcm, 1, 2).reshape(-1, pcm.shape[1])
-        if int(blocks[-1]) != pcm.shape[2]:
-            flat = flat[: int(np.asarray(blocks).sum())]
-        return flat
+        blocks = np.asarray(blocks)
+        N = pcm.shape[2]
+        if (blocks[:-1] == N).all():
+            # fixed-size batch (at most a short LAST frame — FLAC's
+            # only-last-frame-short invariant): one reshape + tail trim
+            flat = jnp.swapaxes(pcm, 1, 2).reshape(-1, pcm.shape[1])
+            if int(blocks[-1]) != N:
+                flat = flat[: int(blocks.sum())]
+            return flat
+        # variable-block batch: per-frame trim
+        return jnp.concatenate(
+            [pcm[b, :, :int(n)].T for b, n in enumerate(blocks)], axis=0)
 
     def read_all_device(self):
         """Whole stream as one (total, channels) device array."""

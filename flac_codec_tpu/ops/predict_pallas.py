@@ -48,17 +48,25 @@ CRC-valid stream engineered to push predictions past int32 wraps here
 where the int64 scan would not; the host decoder remains the validating
 surface for untrusted input.
 
-Mosaic notes (v5e, 2026-08): dynamic multi-row slices (``pl.ds(n, T)``),
-``input_output_aliases`` with a grid, blocked specs with a grid, and
-vector multiplies of tuple loop-carried values all crash the lowering.
-The kernel therefore runs grid-free on a 256-lane column chunk, carries
-nothing across iterations, reads its T history rows back from the output
-panel with single-row dynamic indexing, splits limbs inline, and writes
-exactly one row.  Measured (chained-unique serial dispatch, so no cache
-can serve repeats): ~21 us for a (4096+16, 256) panel at taps=16 — about
-5 ns per sequential sample step, ~100 GB/s of PCM-equivalent per chip at
-B=512.  The surrounding arithmetic stays int32 end-to-end; int64 anywhere
-in the wrapper costs more than the kernel itself under the x64 rewriter.
+Mosaic notes (v5e, 2026-08, round-3 revision): the kernel streams (R,
+1024) row blocks through a grid with the T-sample history carried in
+fori registers and persisted across grid steps via scratch — full-lane
+tiles, sequential-only ref access.  Three lowering rules learned the
+hard way (each with a minimal repro, see BASELINE.md): BlockSpec
+index-map literals must be wrapped jnp.int32 under jax_enable_x64 (bare
+0 traces as i64 and Mosaic fails to legalize the map); loop-carry inits
+must be ref-derived (a jnp.zeros init trips an "invalid relayout" on the
+carried vectors); and dynamic row indexing is only fast on 2-D refs with
+the dynamic axis on sublanes (outer-dim indexing of 3-D blocks lowers
+~800x slower).  Round-2's perf claim for this kernel (~5 ns/step,
+~100 GB/s) was a fence artifact — block_until_ready acks early through
+the tunneled runtime.  Honest (dependency-chained + scalar-sync) rate:
+~1.4 us per sequential sample row over 1024 lanes at taps=16, i.e.
+~1.2-1.4 GB/s of PCM per chip at B=1024 — 4-5 host cores' worth of
+predict per chip, so the host Rice parse (not this kernel) remains the
+decode pipeline's per-core ceiling.  The surrounding arithmetic stays
+int32 end-to-end; int64 anywhere in the wrapper costs more than the
+kernel itself under the x64 rewriter.
 """
 
 from __future__ import annotations
@@ -73,7 +81,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # batch-tile width (lanes); B is padded to a multiple of this
-_BT = 256
+_BT = 1024
 
 
 def _limb_bits(taps: int) -> int:
@@ -88,28 +96,40 @@ def _limb_bits(taps: int) -> int:
 LIMB4 = 11
 
 
-def _kernel(n_samples: int, t_taps: int, limb: int, limbs: int):
+def _kernel(rows_per_block: int, t_taps: int, limb: int, limbs: int):
     mask = (1 << limb) - 1
     T = t_taps
+    R = rows_per_block
 
-    def kernel(qs_ref, meta_ref, x_ref, out_ref):
+    def kernel(qs_ref, meta_ref, x_ref, out_ref, hist_ref):
+        # Streaming-grid form (round 3): the T-sample history rides in
+        # fori-carried registers (persisted across grid steps via the
+        # hist scratch), so the residual panel streams through VMEM in
+        # (R, BT) row blocks and the output is written sequentially —
+        # full-width 1024-lane tiles instead of the old whole-panel
+        # 256-lane layout (4x the per-op lane utilization, measured).
         # qs_ref: (>=8, BT) taps, row j = q_j (zero past the order);
-        # meta_ref: (8, BT) with row 0 = shift, row 1 = order (padded to
-        # the int32 tile's 8-sublane minimum); x_ref: (T + N, BT) int32
-        # residual panel with T zero head rows; out_ref: (T + N, BT) —
-        # row T+n written once, history read back from rows [n, n+T).
+        # meta_ref: (8, BT) row 0 = shift, row 1 = order;
+        # x_ref/out_ref: (R, BT) blocks of the (Npad, BT) panels.
+        g = pl.program_id(0)
         s = meta_ref[0, :]
         sh_hi = limb - s
         ordv = meta_ref[1, :]
 
-        # head rows: passthrough copies (only ever multiplied by
-        # zero-padded taps, but keep them defined regardless)
-        for r in range(T):
-            out_ref[r, :] = x_ref[r, :]
+        @pl.when(g == 0)
+        def _():
+            z = x_ref[0, :] * 0   # ref-derived zeros: layout-compatible
+            for j in range(T):
+                hist_ref[j, :] = z
 
-        def body(n, carry):
-            # tap j multiplies out[n-1-j] = out_ref row T+n-1-j = n+(T-1-j)
-            h = out_ref[n + (T - 1), :]
+        def one_step(r, hist):
+            # tap j multiplies x[n-1-j], carried in registers: hist[j]
+            # holds out[n-1-j].  (Round 3: history used to be re-read
+            # from out_ref rows — 17 dynamic VMEM row accesses per step
+            # at ~10x the cost of the arithmetic; the register shift
+            # chain removed them.  Measured honestly with chained
+            # dispatch + scalar sync, not block_until_ready.)
+            h = hist[0]
             q0 = qs_ref[0, :]
             if limbs == 4:
                 m4 = (1 << LIMB4) - 1
@@ -126,7 +146,7 @@ def _kernel(n_samples: int, t_taps: int, limb: int, limbs: int):
             if limbs != 4:
                 s_lo = q0 * (h & mask)
             for j in range(1, T):
-                h = out_ref[n + (T - 1 - j), :]
+                h = hist[j]
                 qj = qs_ref[j, :]
                 if limbs == 4:
                     s0 = s0 + qj * (h & m4)
@@ -186,14 +206,28 @@ def _kernel(n_samples: int, t_taps: int, limb: int, limbs: int):
                                     ).astype(jnp.int32))
             else:
                 res = (s_hi << sh_hi) + (s_lo >> s)
-            xv = x_ref[n + T, :]
-            out_ref[n + T, :] = jnp.where(n >= ordv, xv + res, xv)
-            return carry
+            xv = x_ref[r, :]
+            out = jnp.where(g * R + r >= ordv, xv + res, xv)
+            out_ref[r, :] = out
+            return (out,) + hist[:-1]
+
+        # unroll several samples per fori iteration: the per-iteration
+        # loop overhead is comparable to the step arithmetic
+        unroll = 4 if R % 4 == 0 else 1
+
+        def body(i, hist):
+            r = i * unroll
+            for u in range(unroll):
+                hist = one_step(r + u, hist)
+            return hist
 
         # int32 loop bounds: under jax_enable_x64 a plain `0` would make
         # the index int64, which Mosaic cannot lower
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_samples), body,
-                          jnp.int32(0))
+        hist = tuple(hist_ref[j, :] for j in range(T))
+        hist = jax.lax.fori_loop(jnp.int32(0), jnp.int32(R // unroll),
+                                 body, hist)
+        for j in range(T):
+            hist_ref[j, :] = hist[j]
 
     return kernel
 
@@ -215,7 +249,13 @@ def predict_batch_pallas(x: jnp.ndarray, qcoeffs: jnp.ndarray,
     assert N == block_size
     T = max(taps, 4)
     L = _limb_bits(T)
-    xt = jnp.pad(x.astype(jnp.int32), ((0, 0), (T, 0))).T  # (T+N, B)
+    # streaming row blocks (grid) over the sample axis
+    R = 256
+    padN = (-N) % R
+    xt = x.astype(jnp.int32).T                             # (N, B)
+    if padN:
+        xt = jnp.pad(xt, ((0, padN), (0, 0)))
+    Np = N + padN
     qs = qcoeffs[:, :T].astype(jnp.int32).T                # (T, B), row j = q_j
     ordv = order.astype(jnp.int32)
     # order-0 rows (constant/verbatim) have zero taps: any shift in range
@@ -235,20 +275,27 @@ def predict_batch_pallas(x: jnp.ndarray, qcoeffs: jnp.ndarray,
     if Tq != T:
         qs = jnp.pad(qs, ((0, Tq - T), (0, 0)))
 
-    # one grid-free pallas_call per 256-lane column chunk: blocked specs
-    # with a grid crash the Mosaic lowering for this kernel (see module
-    # doc), and a full 512-lane panel pair would overflow VMEM anyway
+    # index-map literals must be int32 (bare 0 traces as i64 under x64,
+    # which Mosaic cannot legalize)
+    imc = lambda g: (jnp.int32(0), jnp.int32(0))
+    imr = lambda g: (g, jnp.int32(0))
     call = pl.pallas_call(
-        _kernel(N, T, L, limbs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T + N, _BT), jnp.int32),
+        _kernel(R, T, L, limbs),
+        grid=(Np // R,),
+        in_specs=[
+            pl.BlockSpec((Tq, _BT), imc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _BT), imc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, _BT), imr, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, _BT), imr, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, _BT), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((T, _BT), jnp.int32)],
         interpret=interpret,
     )
     chunks = [call(qs[:, c:c + _BT], meta[:, c:c + _BT], xt[:, c:c + _BT])
               for c in range(0, Bp, _BT)]
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
-    return out[T:, :B].T.astype(x.dtype)
+    return out[:N, :B].T.astype(x.dtype)
 
 
 def pallas_predict_ok(x: np.ndarray, qcoeffs: np.ndarray, shift: np.ndarray,

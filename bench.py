@@ -131,7 +131,7 @@ def end_to_end_mbps(opts: Options, batch_frames: int, analysis: str,
     return pcm_mb / dt
 
 
-def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
+def decode_mbps(opts: Options, seconds: float = 48.0) -> tuple:
     """Native host full-decode rate (per core) on a stream produced by the
     batch encoder, plus the device predict-step rate for the same shapes."""
     import jax.numpy as jnp
@@ -165,7 +165,7 @@ def decode_mbps(opts: Options, seconds: float = 10.0) -> tuple:
     view, start = d.r.np_view(), d.r.pos
     outbuf = np.empty(n * 2, dtype=np.int32)  # reused across calls
     best = None
-    for _ in range(16):  # enough reps to ride out shared-VM clock noise
+    for _ in range(8):  # enough reps to ride out shared-VM clock noise
         t0 = time.perf_counter()
         out, sizes, end, err = nat.decode_frames(
             view, start, 10 ** 6, 44100, 2, 16, opts.block_size, n,

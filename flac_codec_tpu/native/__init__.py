@@ -93,6 +93,15 @@ class Native:
             u8p, ctypes.c_uint32, u32p, ctypes.c_uint32,
             u8p, u64p, u64p,           # blobs, blob_start_bits, blob_bits
             ctypes.c_uint32]           # chan_stride
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.nat_assemble_packed.restype = ctypes.c_int64
+        lib.nat_assemble_packed.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint64,
+            u8p,                       # assignment
+            u8p, ctypes.c_uint64,      # blob, slot_bytes
+            u64p, u16p, u8p,           # body_bits, inner_crc, fallback
+            u8p, ctypes.c_uint32, u32p, ctypes.c_uint32]
 
     @staticmethod
     def _u8(buf) -> "ctypes.POINTER(ctypes.c_uint8)":
@@ -218,6 +227,38 @@ class Native:
             p(params, i32), p(residuals, i32), p(channels, i32),
             p(out, u8), max_bytes, p(lengths, u32), nthreads, *blob_args,
             chan_stride)
+        assert total >= 0
+        return [out[b, :lengths[b]].tobytes() if lengths[b] else None
+                for b in range(B)]
+
+    def assemble_packed(self, *, N: int, bps_base: int, sample_rate: int,
+                        first_frame_number: int, assignment: np.ndarray,
+                        blob: np.ndarray, slot_bytes: int,
+                        body_bits: np.ndarray, inner_crc: np.ndarray,
+                        fallback: np.ndarray, nthreads: int = 0):
+        """Splice device-packed frame bodies (ops/framepack.py) into
+        finished frames: ~10 header bytes + one memcpy + an O(log L)
+        GF(2) multiply to finish the CRC-16 per frame.  Returns a list of
+        per-frame bytes (``None`` = host fallback needed)."""
+        import os
+
+        B = len(assignment)
+        max_bytes = int(slot_bytes) + 32
+        out = np.zeros((B, max_bytes), dtype=np.uint8)
+        lengths = np.zeros(B, dtype=np.uint32)
+        if nthreads <= 0:
+            nthreads = min(8, os.cpu_count() or 1)
+
+        def p(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        u8, u32 = ctypes.c_uint8, ctypes.c_uint32
+        u64, u16 = ctypes.c_uint64, ctypes.c_uint16
+        total = self._lib.nat_assemble_packed(
+            B, N, bps_base, sample_rate, first_frame_number,
+            p(assignment, u8), p(blob, u8), slot_bytes,
+            p(body_bits, u64), p(inner_crc, u16), p(fallback, u8),
+            p(out, u8), max_bytes, p(lengths, u32), nthreads)
         assert total >= 0
         return [out[b, :lengths[b]].tobytes() if lengths[b] else None
                 for b in range(B)]

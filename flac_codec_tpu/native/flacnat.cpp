@@ -668,6 +668,117 @@ int64_t nat_assemble_batch(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Packed-frame assembler: the device serialized each frame's complete body
+// (subframes + residuals, byte-aligned) into a fixed-size slot and reduced
+// its CRC-16 to a position-weighted GF(2) inner product (ops/framepack.py).
+// Host work per frame: ~10 header bytes + CRC-8, one memcpy, and an
+// O(log L) carry-less multiply to finish the CRC-16.
+// ---------------------------------------------------------------------------
+
+// carry-less multiply mod the FLAC CRC-16 polynomial x^16+x^15+x^2+1
+static uint32_t gf16_mulmod(uint32_t a, uint32_t b) {
+    uint64_t r = 0;
+    for (int i = 0; i < 16; i++)
+        if ((b >> i) & 1) r ^= (uint64_t)a << i;
+    for (int i = 30; i >= 16; i--)
+        if ((r >> i) & 1) r ^= (uint64_t)0x18005u << (i - 16);
+    return (uint32_t)r;
+}
+
+// x^(8*2^k) mod P, filled on first use (k < 40 covers any frame length)
+static uint32_t X8POW2[40];
+static bool x8pow_ready = false;
+static void init_x8pow() {
+    uint32_t v = 0x100;  // x^8
+    for (int k = 0; k < 40; k++) { X8POW2[k] = v; v = gf16_mulmod(v, v); }
+    x8pow_ready = true;
+}
+
+static uint32_t gf16_xpow8(uint64_t nbytes) {  // x^(8*nbytes) mod P
+    if (!x8pow_ready) init_x8pow();
+    uint32_t r = 1;
+    for (int k = 0; nbytes; k++, nbytes >>= 1)
+        if (nbytes & 1) r = gf16_mulmod(r, X8POW2[k]);
+    return r;
+}
+
+extern "C" {
+
+// Splice device-packed frame bodies into finished FLAC frames.
+// blob: B slots of slot_bytes each (MSB-first byte stream, body at byte 0).
+// A frame with fallback[b] set (verbatim subframe / budget overflow) gets
+// lengths[b] = 0 for the caller's host re-encode path.
+int64_t nat_assemble_packed(
+    uint32_t B, uint32_t N, uint32_t bps_base, uint32_t sample_rate,
+    uint64_t first_frame_number, const uint8_t* assignment,
+    const uint8_t* blob, uint64_t slot_bytes,
+    const uint64_t* body_bits, const uint16_t* inner_crc,
+    const uint8_t* fallback,
+    uint8_t* out, uint32_t max_bytes, uint32_t* lengths, uint32_t nthreads) {
+    if (!tables_ready) init_tables();
+    if (!x8pow_ready) init_x8pow();
+
+    auto do_frame = [&](uint32_t b) {
+        if (fallback[b] || first_frame_number + b > 0xFFFFFFFFFull) {
+            lengths[b] = 0;
+            return;
+        }
+        uint8_t* frame_buf = out + (uint64_t)b * max_bytes;
+        BitSink w{frame_buf};
+        w.put(0b111111111111100, 15);
+        w.put(0, 1);
+        uint32_t bs_extra = 0, bs_extra_bits = 0, sr_extra = 0, sr_extra_bits = 0;
+        uint32_t bsc = block_size_code(N, &bs_extra, &bs_extra_bits);
+        uint32_t src = sample_rate_code(sample_rate, &sr_extra, &sr_extra_bits);
+        w.put(bsc, 4);
+        w.put(src, 4);
+        w.put(assignment[b], 4);
+        w.put(bps_code(bps_base), 3);
+        w.put(0, 1);
+        put_frame_number(w, first_frame_number + b);
+        if (bs_extra_bits) w.put(bs_extra, bs_extra_bits);
+        if (sr_extra_bits) w.put(sr_extra, sr_extra_bits);
+        uint64_t hdr_bytes = w.bitpos >> 3;
+        w.put(nat_crc8(frame_buf, hdr_bytes, 0), 8);
+        hdr_bytes += 1;
+
+        uint64_t body_bytes = (body_bits[b] + 7) >> 3;
+        if (hdr_bytes + body_bytes + 2 > max_bytes) { lengths[b] = 0; return; }
+        memcpy(frame_buf + hdr_bytes, blob + (uint64_t)b * slot_bytes,
+               body_bytes);
+
+        // CRC-16(header || body) = CRC(header)*x^(8*Lb) + inner*x^(8*Lb+15)
+        uint32_t xl = gf16_xpow8(body_bytes);
+        uint32_t crc_h = crc16_table(frame_buf, hdr_bytes, 0);
+        uint32_t crc = gf16_mulmod(crc_h, xl)
+                     ^ gf16_mulmod(inner_crc[b], gf16_mulmod(xl, 0x8000));
+        uint64_t end = hdr_bytes + body_bytes;
+        frame_buf[end] = (uint8_t)(crc >> 8);
+        frame_buf[end + 1] = (uint8_t)(crc & 0xFF);
+        lengths[b] = (uint32_t)(end + 2);
+    };
+
+    if (nthreads <= 1 || B < 4) {
+        for (uint32_t b = 0; b < B; b++) do_frame(b);
+    } else {
+        uint32_t nt = std::min(nthreads, B);
+        std::vector<std::thread> pool;
+        for (uint32_t t = 0; t < nt; t++) {
+            pool.emplace_back([&, t]() {
+                for (uint32_t b = t; b < B; b += nt) do_frame(b);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+
+    int64_t total = 0;
+    for (uint32_t b = 0; b < B; b++) total += lengths[b];
+    return total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Native frame decoder.
 //
 // Full FLAC frame decode loop in C++ (reference decode path:

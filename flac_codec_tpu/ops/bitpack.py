@@ -20,66 +20,17 @@ import jax.numpy as jnp
 from .rice import KIND_CONSTANT, KIND_ESCAPE, KIND_RICE, MAX_PARTITIONS, zigzag
 
 
-def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
-                           po: jnp.ndarray, kinds: jnp.ndarray,
-                           params: jnp.ndarray, rice_bits: jnp.ndarray,
-                           block_size: int, out_words: int,
-                           base_word: jnp.ndarray, budget_bits: int):
-    """Pack one slot's residual sections for the whole batch.
+def make_scatter(out_words: int):
+    """Build the two-word scatter-OR helper for a shared uint32 buffer.
 
-    res: (B, N) int64 residuals at positions >= order.
-    order/po/rice_bits: (B,).  kinds/params: (B, 64).
-    base_word: (B,) starting word index of each subframe's blob in the
-        shared output buffer (32-bit aligned blob starts).
-    budget_bits: per-subframe blob capacity; bits past it are dropped (the
-        caller detects overflow via the returned bit length and falls back
-        to host encoding for that frame).
-
-    Returns (words (out_words,) uint32, bit_len (B,)) — ``words`` must be
-    summed (scatter-add) with other slots' buffers by the caller.
+    The returned ``scatter(values, widths, end_offsets, mask)`` ORs
+    ``widths``-bit ``values`` ending at absolute bit ``end_offsets`` into a
+    fresh ``(out_words,)`` buffer via scatter-ADD (bit fields written this
+    way never overlap, and unary/padding zeros are implicit in the
+    zero-initialised buffer), returning the buffer for the caller to sum.
     """
-    B, N = res.shape
-    pos = jnp.arange(N)
-    in_res = pos[None, :] >= order[:, None]
-
-    parts = jnp.int64(1) << po.astype(jnp.int64)          # (B,)
-    part_len = block_size // parts                         # (B,)
-    part_idx = jnp.minimum(pos[None, :] // part_len[:, None],
-                           MAX_PARTITIONS - 1)             # (B, N)
-    from .rice import part_lookup
-
-    k_per = part_lookup(params.astype(jnp.int64), part_idx)
-    kind_per = part_lookup(kinds.astype(jnp.int32), part_idx)
-
-    u = zigzag(res).astype(jnp.int64)
-    rb = rice_bits.astype(jnp.int64)[:, None]              # 4 or 5
-
-    # --- per-sample code lengths ---
-    quotient = jax.lax.shift_right_logical(u, jnp.maximum(k_per, 0))
-    sample_len = jnp.where(
-        kind_per == KIND_RICE, quotient + k_per + 1,
-        jnp.where(kind_per == KIND_ESCAPE, k_per, 0))
-    sample_len = jnp.where(in_res, sample_len, 0)
-
-    # fold per-partition header lengths into the first in-residual sample of
-    # each partition; partitions with no samples at all cannot occur (p0>=1)
-    part_start_pos = part_idx * part_len[:, None]          # (B, N) start of my partition
-    first_of_part = (pos[None, :] == jnp.maximum(part_start_pos,
-                                                 order[:, None]))
-    hdr_len_per = jnp.where(kind_per == KIND_RICE, rb, rb + 5)
-    extra = jnp.where(first_of_part & in_res, hdr_len_per, 0)
-
-    # section prefix: 2 bits method + 4 bits partition order
-    lens = sample_len + extra
-    ends = jnp.cumsum(lens, axis=1) + 6                    # bit offset after sample i
-    bit_len = ends[:, -1]                                  # (B,) total section bits
-
-    base_bits = base_word.astype(jnp.int64) * 32
-
-    words = jnp.zeros(out_words, jnp.uint32)
 
     def scatter(values, widths, end_offsets, mask):
-        """OR `widths`-bit `values` ending at `end_offsets` into words."""
         start = end_offsets - widths
         word0 = jax.lax.shift_right_logical(start, jnp.int64(5))
         sh = start & 31
@@ -95,6 +46,76 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
         return (jnp.zeros(out_words, jnp.uint32)
                 .at[idx0.reshape(-1)].add(hi.reshape(-1), mode="drop")
                 .at[(idx0 + 1).reshape(-1)].add(lo.reshape(-1), mode="drop"))
+
+    return scatter
+
+
+def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
+                           po: jnp.ndarray, kinds: jnp.ndarray,
+                           params: jnp.ndarray, rice_bits: jnp.ndarray,
+                           block_size: int, out_words: int,
+                           base_bits: jnp.ndarray, budget_bits: int):
+    """Pack one slot's residual sections for the whole batch.
+
+    res: (B, N) int64 residuals at positions >= order.
+    order/po/rice_bits: (B,).  kinds/params: (B, 64).
+    base_bits: (B,) int64 absolute starting BIT offset of each subframe's
+        residual section in the shared output buffer (need not be aligned).
+    budget_bits: per-subframe section capacity; bits past it are dropped
+        (the caller detects overflow via the returned bit length and falls
+        back to host encoding for that frame).
+
+    Returns (words (out_words,) uint32, bit_len (B,)) — ``words`` must be
+    summed (scatter-add) with other slots' buffers by the caller.
+    """
+    B, N = res.shape
+    pos = jnp.arange(N)
+    in_res = pos[None, :] >= order[:, None]
+
+    from .rice import expand_to_samples
+
+    # fine-grid expansion (see rice.expand_to_samples): any chosen po is
+    # bounded by the block size's trailing zeros and MAX_PARTITIONS
+    max_po = min((block_size & -block_size).bit_length() - 1, 6)
+    fine_parts = 1 << max_po
+    po32 = po.astype(jnp.int32)
+    k_per = expand_to_samples(params.astype(jnp.int64), po32, N, max_po)
+    kind_per = expand_to_samples(kinds.astype(jnp.int32), po32, N, max_po)
+
+    u = zigzag(res).astype(jnp.int64)
+    rb = rice_bits.astype(jnp.int64)[:, None]              # 4 or 5
+
+    # --- per-sample code lengths ---
+    quotient = jax.lax.shift_right_logical(u, jnp.maximum(k_per, 0))
+    sample_len = jnp.where(
+        kind_per == KIND_RICE, quotient + k_per + 1,
+        jnp.where(kind_per == KIND_ESCAPE, k_per, 0))
+    sample_len = jnp.where(in_res, sample_len, 0)
+
+    # fold per-partition header lengths into the first in-residual sample
+    # of each partition (partitions with no samples cannot occur, p0>=1):
+    # a sample is its partition's first iff it sits on a chosen-partition
+    # boundary — or, for partition 0, exactly at `order`
+    f = jnp.arange(fine_parts, dtype=jnp.int32)
+    cell_is_pstart = (f[None, :] & ((1 << (max_po - po32[:, None])) - 1)) == 0
+    cell_in_part0 = (f[None, :] >> (max_po - po32[:, None])) == 0
+    sub = N >> max_po                                      # samples per cell
+    is_cell_start = (pos % sub) == 0                       # (N,) static
+    starts = jnp.repeat(cell_is_pstart, sub, axis=1) & is_cell_start[None, :]
+    in_part0 = jnp.repeat(cell_in_part0, sub, axis=1)
+    first_of_part = jnp.where(in_part0, pos[None, :] == order[:, None],
+                              starts)
+    hdr_len_per = jnp.where(kind_per == KIND_RICE, rb, rb + 5)
+    extra = jnp.where(first_of_part & in_res, hdr_len_per, 0)
+
+    # section prefix: 2 bits method + 4 bits partition order
+    lens = sample_len + extra
+    ends = jnp.cumsum(lens, axis=1) + 6                    # bit offset after sample i
+    bit_len = ends[:, -1]                                  # (B,) total section bits
+
+    base_bits = base_bits.astype(jnp.int64)
+    words = jnp.zeros(out_words, jnp.uint32)
+    scatter = make_scatter(out_words)
 
     in_budget = ends <= budget_bits  # (B, N) per-sample budget guard
 

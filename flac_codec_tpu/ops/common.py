@@ -12,6 +12,12 @@ I32 = jnp.int32
 # initializing a backend)
 BIG = 1 << 62
 
+# subframe type codes shared by the planner and the packers
+TYPE_CONSTANT = 0
+TYPE_VERBATIM = 1
+TYPE_FIXED = 2
+TYPE_LPC = 3
+
 
 def analysis_dtype(requested=None):
     """f64 when JAX x64 is enabled (bit-parity with the reference's f64

@@ -21,12 +21,8 @@ import jax.numpy as jnp
 
 from ..models.lpc import precision_for_block_size
 from . import decorrelate, fixed, lpc, rice
-from .common import BIG
-
-TYPE_CONSTANT = 0
-TYPE_VERBATIM = 1
-TYPE_FIXED = 2
-TYPE_LPC = 3
+from .common import (BIG, TYPE_CONSTANT, TYPE_FIXED, TYPE_LPC,
+                     TYPE_VERBATIM)
 
 
 def _wasted_bits(x: jnp.ndarray):
@@ -195,12 +191,13 @@ def _pack_plan_channels(plan: dict, block_size: int, budget_bits: int):
 
     words = jnp.zeros(out_words, jnp.uint32)
     for s, ch in enumerate(channels):
-        base_word = (jnp.arange(B) * S + s) * per_sub_words
+        base_bits = ((jnp.arange(B) * S + s) * per_sub_words).astype(
+            jnp.int64) * 32
         w, bits = pack_residual_sections(
             ch["residuals"].astype(jnp.int64), ch["order"].astype(jnp.int32),
             ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
             ch["rice_bits"].astype(jnp.int32), block_size, out_words,
-            base_word, budget_bits * block_size)
+            base_bits, budget_bits * block_size)
         words = words + w
         # only FIXED/LPC subframes have a residual section; constant and
         # verbatim slots carry garbage residual arrays whose pseudo bit
@@ -220,7 +217,8 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
                              exhaustive: bool = True,
                              window_kind=("tukey", 0.5),
                              analysis: str = "auto",
-                             pack_budget: int = 0):
+                             pack_budget: int = 0,
+                             frame_pack: bool = False):
     """Plan encoding for a batch of frames.
 
     pcm: (B, C, N) int32.  ``analysis`` chooses the float dtype for LPC
@@ -294,7 +292,12 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
                  for c in range(C)]
         plan = {"assignment": assignment, "channels": chans}
 
-    if pack_budget:
+    if pack_budget and frame_pack:
+        from .framepack import pack_frame_bodies
+
+        plan = pack_frame_bodies(plan, block_size, bits_per_sample,
+                                 pack_budget)
+    elif pack_budget:
         plan = _pack_plan_channels(plan, block_size, pack_budget)
     return plan
 
@@ -302,6 +305,7 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
 encode_frames_plan = partial(jax.jit, static_argnames=(
     "bits_per_sample", "block_size", "max_lpc_order", "max_partition_order",
     "mid_side", "exhaustive", "window_kind", "analysis", "pack_budget",
+    "frame_pack",
 ))(_encode_frames_plan_impl)
 
 
@@ -325,6 +329,7 @@ def _leaf_to_bytes(leaf: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=(
     "bits_per_sample", "block_size", "max_lpc_order", "max_partition_order",
     "mid_side", "exhaustive", "window_kind", "analysis", "pack_budget",
+    "frame_pack",
 ))
 def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
                             block_size: int, max_lpc_order,
@@ -332,7 +337,8 @@ def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
                             exhaustive: bool = True,
                             window_kind=("tukey", 0.5),
                             analysis: str = "auto",
-                            pack_budget: int = 0) -> jnp.ndarray:
+                            pack_budget: int = 0,
+                            frame_pack: bool = False) -> jnp.ndarray:
     """Like :func:`encode_frames_plan` but returns one flat uint8 array
     holding every plan leaf (tree_flatten order).  Decode with
     :func:`plan_blob_spec` + :func:`unpack_plan_blob`."""
@@ -340,7 +346,7 @@ def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
         pcm, bits_per_sample=bits_per_sample, block_size=block_size,
         max_lpc_order=max_lpc_order, max_partition_order=max_partition_order,
         mid_side=mid_side, exhaustive=exhaustive, window_kind=window_kind,
-        analysis=analysis, pack_budget=pack_budget)
+        analysis=analysis, pack_budget=pack_budget, frame_pack=frame_pack)
     leaves = jax.tree_util.tree_leaves(plan)
     return jnp.concatenate([_leaf_to_bytes(l) for l in leaves])
 

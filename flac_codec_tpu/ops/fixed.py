@@ -56,20 +56,27 @@ def best_order(diffs: jnp.ndarray, valid: jnp.ndarray):
     # last valid order per batch entry
     last_valid = jnp.max(jnp.where(valid, order_ids[None, :], 0), axis=1)  # (B,)
 
-    # prefix sums of the first j in-order elements of each buffer, j in 0..4:
-    # element j of buffer k sits at position k + j
-    # prefix[b, k, j] = sum of first j elements of buffer k
+    # prefix sums of the first j in-order elements of each buffer, j in
+    # 0..4: element j of buffer k sits at position k + j, so only the
+    # first 9 sample positions ever contribute — compute on that slice
+    # instead of masking the full panel
+    head = jnp.abs(diffs[:, :, :9])  # (B, 5, 9)
+    hcum = jnp.concatenate(
+        [jnp.zeros_like(head[:, :, :1]), jnp.cumsum(head, axis=2)], axis=2)
+    # firsts[b, k, j] = sum head[k, k:k+j] = hcum[k, k+j] - hcum[k, k]
     firsts = jnp.stack(
-        [jnp.where((idx[None, None, :] >= order_ids[None, :, None])
-                   & (idx[None, None, :] < order_ids[None, :, None] + j),
-                   jnp.abs(diffs), 0).sum(axis=2)
-         for j in range(5)], axis=2)  # (B, 5, 5)
+        [jnp.stack([hcum[:, k, k + j] - hcum[:, k, k] for j in range(5)],
+                   axis=1) for k in range(K)], axis=1)  # (B, 5, 5)
 
     skip = jnp.clip(last_valid[:, None] - order_ids[None, :], 0, 4)  # (B, 5)
-    suffix_sums = totals - jnp.take_along_axis(firsts, skip[:, :, None],
-                                               axis=2)[:, :, 0]
+    # skip-lookup + final residual pick as masked selects (gather-free)
+    skipped = jnp.zeros(firsts.shape[:2], firsts.dtype)
+    for j in range(5):
+        skipped = jnp.where(skip == j, firsts[:, :, j], skipped)
+    suffix_sums = totals - skipped
     suffix_sums = jnp.where(valid, suffix_sums, jnp.int64(1) << 62)
     order = jnp.argmin(suffix_sums, axis=1)  # first minimum -> lowest order
-    residuals = jnp.take_along_axis(
-        diffs, order[:, None, None], axis=1)[:, 0]
+    residuals = diffs[:, 0]
+    for k in range(1, K):
+        residuals = jnp.where((order == k)[:, None], diffs[:, k], residuals)
     return order, residuals

@@ -1,0 +1,220 @@
+"""Full-frame device packing (encode): complete FLAC frame bodies on device.
+
+Everything after the frame header — subframe headers, wasted-bits unary,
+warm-up samples, LPC parameter fields, Rice residual sections, final byte
+alignment — is scatter-packed into a fixed-size per-frame word slot on
+device, extending the residual-only packer (`ops.bitpack`).  A
+position-weighted GF(2) inner product additionally reduces each frame's
+CRC-16 to a single uint16 on device: with the FLAC CRC-16 (poly 0x18005,
+init 0, no reflection) being linear, CRC(body) = x^(8L+15) * sum_p bit_p *
+x^(-p) (mod P) where p is the bit position from the slot start — the
+x^(-p) weights are STATIC per slot position, zero bits contribute nothing
+(so slot padding is free), and only the final x^(8L+15) multiply depends
+on the frame's byte length L, which the host finishes in O(log L).
+
+The host assembler thus degenerates to: write the ~10-byte frame header
+(varint frame number + CRC-8), memcpy the byte-aligned body out of the
+slot, and append the combined CRC-16 — pure memory speed (TPU re-design
+of the reference's per-frame serialization, src/encode.rs:2259-2439).
+
+Verbatim subframes need full channel data and fall back to the host
+encoder (flagged per frame), exactly like the residual-only packed mode.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .bitpack import make_scatter, pack_residual_sections
+from .common import TYPE_CONSTANT, TYPE_FIXED, TYPE_LPC, TYPE_VERBATIM
+
+CRC16_POLY = 0x18005  # x^16 + x^15 + x^2 + 1 (RFC 9639 frame footer CRC)
+
+
+# ---------------------------------------------------------------------------
+# Static CRC-16 position-weight table
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def crc16_neg_pow_table(nbits: int) -> np.ndarray:
+    """T[p] = x^(-p) mod P as uint16, p in [0, nbits).
+
+    Multiplying by x^(-1): if the constant term is set, add P first (P has
+    a constant term, so the sum is divisible by x), then divide by x.
+    """
+    out = np.empty(nbits, np.uint16)
+    s = 1
+    for p in range(nbits):
+        out[p] = s
+        s = ((s ^ CRC16_POLY) >> 1) if (s & 1) else (s >> 1)
+    return out
+
+
+def crc16_inner(words: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
+    """(B, W) uint32 slot words -> (B,) uint16 GF(2) inner product.
+
+    ``table`` is crc16_neg_pow_table(W*32) reshaped so that entry (w, j)
+    weights bit j (MSB-first) of word w.
+    """
+    B, W = words.shape
+    t = jnp.asarray(table.reshape(W, 32))
+    acc = jnp.zeros((B, W), jnp.uint16)
+    for j in range(32):
+        bit = jax.lax.shift_right_logical(
+            words, jnp.uint32(31 - j)).astype(jnp.uint16) & 1
+        acc = acc ^ (bit * t[None, :, j])
+    return jax.lax.reduce(acc, jnp.uint16(0),
+                          lambda a, b: jnp.bitwise_xor(a, b), (1,))
+
+
+# ---------------------------------------------------------------------------
+# Frame body packer
+# ---------------------------------------------------------------------------
+
+def frame_slot_words(S: int, block_size: int, budget_bits: int) -> int:
+    """Words per frame slot: S residual budgets + per-subframe field margin
+    (header 8 + wasted unary <=32 + warm-ups <=32*32 + LPC params <=9+32*15
+    < 64 words) + scatter window slack."""
+    per_sub = (budget_bits * block_size + 31) // 32
+    return S * (per_sub + 64) + 2
+
+
+def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
+                      budget_bits: int):
+    """Pack every frame's complete body into per-frame slots on device.
+
+    plan: output of the batch planner (see encode_batch) BEFORE any
+    packing: per-slot channels with residuals/kinds/params/po/rice_bits/
+    warmup/subframe_bits/....  Adds to the plan:
+
+      frame_words (B*W,) uint32 — slot blobs (bit 31 of word 0 = body bit 0)
+      body_bits  (B,) int64     — exact body bit length (pre-alignment)
+      inner_crc  (B,) uint16    — GF(2) inner product for the body CRC-16
+      frame_fallback (B,) bool  — host must re-encode this frame
+                                  (verbatim subframe or budget overflow)
+
+    and removes the raw residual panels.  ``subframe_bits`` from the
+    planner is the exact serialized subframe length, which makes every
+    field offset computable before any packing happens.
+    """
+    channels = plan["channels"]
+    S = len(channels)
+    B = plan["assignment"].shape[0]
+    N = block_size
+    W = frame_slot_words(S, block_size, budget_bits)
+    out_words = B * W + 2
+    scatter = make_scatter(out_words)
+    ones = jnp.ones(B, bool)
+
+    # per-slot bits-per-sample (side channels carry one extra bit)
+    a = plan["assignment"].astype(jnp.int32)
+    if S == 2:
+        side = [(a == 0b1001), (a == 0b1000) | (a == 0b1010)]
+    else:
+        side = [jnp.zeros(B, bool)] * S
+    frame_base = (jnp.arange(B, dtype=jnp.int64) * W) * 32
+
+    sub_bits = [ch["subframe_bits"].astype(jnp.int64) for ch in channels]
+    body_bits = sum(sub_bits)
+    fallback = jnp.zeros(B, bool)
+    for ch in channels:
+        fallback = fallback | (ch["sub_type"] == TYPE_VERBATIM)
+    # a frame whose packed body exceeds its slot cannot be spliced
+    fallback = fallback | (body_bits > (W - 2) * 32)
+    ok = ~fallback
+
+    words = jnp.zeros(out_words, jnp.uint32)
+    off = jnp.zeros(B, jnp.int64)
+    for s, ch in enumerate(channels):
+        bps_s = bps_base + side[s].astype(jnp.int32)
+        typ = ch["sub_type"].astype(jnp.int32)
+        wasted = ch["wasted"].astype(jnp.int64)
+        order = ch["order"].astype(jnp.int64)
+        precision = ch["precision"].astype(jnp.int64)
+        eff = bps_s.astype(jnp.int64) - wasted
+        is_pred = (typ == TYPE_FIXED) | (typ == TYPE_LPC)
+        is_lpc = typ == TYPE_LPC
+        has_wasted = (typ != TYPE_CONSTANT) & (wasted > 0)
+
+        base = frame_base + off  # (B,) absolute slot bit offset
+
+        # 1. subframe header byte: pad(1) + type code(6) + wasted flag(1)
+        code6 = jnp.where(
+            typ == TYPE_CONSTANT, 0,
+            jnp.where(typ == TYPE_VERBATIM, 1,
+                      jnp.where(typ == TYPE_FIXED, 0b001000 | order,
+                                0b100000 | jnp.maximum(order - 1, 0))))
+        hdr_val = (code6 << 1) | has_wasted.astype(jnp.int64)
+        words = words + scatter(hdr_val, jnp.full(B, 8, jnp.int64),
+                                base + 8, ok)
+
+        # 2. wasted-bits unary: (wasted-1) zeros then a 1 -> value 1 at
+        #    width `wasted`
+        hdr_end = base + 8 + jnp.where(has_wasted, wasted, 0)
+        words = words + scatter(jnp.ones(B, jnp.int64), wasted, hdr_end,
+                                ok & has_wasted)
+
+        # 3a. constant value: the UNSHIFTED sample at full slot bps
+        #     (warmup holds the wasted-shifted channel)
+        warm = ch["warmup"].astype(jnp.int64)  # (B, 32)
+        cval = (warm[:, 0] << wasted) & ((jnp.int64(1) << bps_s.astype(
+            jnp.int64)) - 1)
+        words = words + scatter(cval, bps_s.astype(jnp.int64),
+                                hdr_end + bps_s.astype(jnp.int64),
+                                ok & (typ == TYPE_CONSTANT))
+
+        # 3b. warm-up samples (fixed/LPC): order * eff-bit signed fields
+        j = jnp.arange(32, dtype=jnp.int64)
+        wmask = ok[:, None] & is_pred[:, None] & (j[None, :] < order[:, None])
+        wval = warm & ((jnp.int64(1) << eff[:, None]) - 1)
+        wend = hdr_end[:, None] + (j[None, :] + 1) * eff[:, None]
+        words = words + scatter(wval, jnp.broadcast_to(eff[:, None], (B, 32)),
+                                wend, wmask)
+        warm_end = hdr_end + order * eff
+
+        # 4. LPC parameter fields: precision-1 (4) + shift (signed 5)
+        shift = ch["shift"].astype(jnp.int64)
+        pval = ((precision - 1) << 5) | (shift & 31)
+        words = words + scatter(pval, jnp.full(B, 9, jnp.int64),
+                                warm_end + 9, ok & is_lpc)
+
+        # 5. quantized coefficients: order * precision-bit signed fields
+        q = ch["qcoeffs"].astype(jnp.int64)  # (B, 32)
+        qmask = ok[:, None] & is_lpc[:, None] & (j[None, :] < order[:, None])
+        qval = q & ((jnp.int64(1) << precision[:, None]) - 1)
+        qend = warm_end[:, None] + 9 + (j[None, :] + 1) * precision[:, None]
+        words = words + scatter(
+            qval, jnp.broadcast_to(precision[:, None], (B, 32)), qend, qmask)
+
+        pre_res = jnp.where(is_lpc, warm_end + 9 + order * precision,
+                            warm_end)
+
+        # 6. residual section (Rice partitions) via the shared packer;
+        #    suppressed for non-predictive or fallback slots by pointing
+        #    their base past the buffer (mode="drop" discards the writes)
+        res_base = jnp.where(ok & is_pred, pre_res,
+                             jnp.int64(out_words) * 32 + 64)
+        w, bits = pack_residual_sections(
+            ch["residuals"].astype(jnp.int64), order.astype(jnp.int32),
+            ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
+            ch["rice_bits"].astype(jnp.int32), block_size, out_words,
+            res_base, budget_bits * block_size)
+        words = words + w
+        ch["res_bits"] = jnp.where(is_pred, bits, 0).astype(bits.dtype)
+        ch["res_overflow"] = is_pred & (bits > budget_bits * block_size)
+        fallback = fallback | ch["res_overflow"]
+        del ch["residuals"]
+
+        off = off + sub_bits[s]
+
+    plan["frame_words"] = words[:B * W]
+    plan["body_bits"] = body_bits
+    plan["inner_crc"] = crc16_inner(words[:B * W].reshape(B, W),
+                                    crc16_neg_pow_table(W * 32))
+    plan["frame_fallback"] = fallback
+    return plan

@@ -67,20 +67,23 @@ def levinson(autoc: jnp.ndarray, max_order: int):
     all_coeffs = jnp.zeros((B, M, MAX_ORDER), autoc.dtype).at[:, 0].set(coeffs)
     all_errs = jnp.zeros((B, M), autoc.dtype).at[:, 0].set(err)
 
+    # reversed autocorrelation, right-padded so every loop iteration's
+    # window is one contiguous dynamic_slice (TPU-friendly) instead of a
+    # per-element gather: ar_pad[:, M-i+j] == autoc[:, i-j]
+    ar_pad = jnp.pad(jnp.flip(autoc, axis=1), ((0, 0), (0, MAX_ORDER)))
+
     def body(i, carry):
         coeffs, err, all_coeffs, all_errs = carry
         # q = autoc[:, i+1] - sum_{j<i} autoc[:, i-j] * c_j
-        gather_idx = jnp.clip(i - j_idx, 0, M)
-        a = jnp.take_along_axis(
-            autoc, jnp.broadcast_to(gather_idx, (B, MAX_ORDER)), axis=1)
+        a = jax.lax.dynamic_slice(ar_pad, (0, M - i), (B, MAX_ORDER))
         a = jnp.where(j_idx[None, :] < i, a, 0.0)
-        q = jnp.take_along_axis(autoc, jnp.full((B, 1), i + 1), axis=1)[:, 0] \
+        q = jax.lax.dynamic_slice(autoc, (0, i + 1), (B, 1))[:, 0] \
             - (a * coeffs).sum(axis=1)
         k = q / err
-        # c'_j = c_j - k * c_{i-1-j} (j < i); c'_i = k
-        rev_idx = jnp.clip(i - 1 - j_idx, 0, MAX_ORDER - 1)
-        rev = jnp.take_along_axis(
-            coeffs, jnp.broadcast_to(rev_idx, (B, MAX_ORDER)), axis=1)
+        # c'_j = c_j - k * c_{i-1-j} (j < i); c'_i = k — the reversed
+        # window is again one contiguous slice of the flipped coefficients
+        cr_pad = jnp.pad(jnp.flip(coeffs, axis=1), ((0, 0), (0, MAX_ORDER)))
+        rev = jax.lax.dynamic_slice(cr_pad, (0, MAX_ORDER - i), (B, MAX_ORDER))
         new = jnp.where(j_idx[None, :] < i, coeffs - k[:, None] * rev, 0.0)
         new = jnp.where(j_idx[None, :] == i, k[:, None], new)
         err = err * (1.0 - k * k)
@@ -212,8 +215,10 @@ def analyze(x: jnp.ndarray, win: jnp.ndarray, max_order: int,
     all_coeffs, all_errs = levinson(autoc, max_order)
     order, order_valid = best_order(all_errs, bits_per_sample, precision,
                                     block_size)
-    coeffs = jnp.take_along_axis(
-        all_coeffs, (order[:, None, None] - 1).astype(jnp.int32), axis=1)[:, 0]
+    # row pick as a masked chain over the (small) order axis — gather-free
+    coeffs = all_coeffs[:, 0]
+    for o in range(1, all_coeffs.shape[1]):
+        coeffs = jnp.where((order == o + 1)[:, None], all_coeffs[:, o], coeffs)
     shift, qcoeffs, quant_valid = quantize(coeffs, order, precision)
     res, overflow = residuals(x, qcoeffs, order, shift, max_taps=max_order)
     # all-zero quantized coefficients are also rejected by the reference's

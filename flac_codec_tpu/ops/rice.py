@@ -44,11 +44,41 @@ def part_lookup(table: jnp.ndarray, part_idx: jnp.ndarray) -> jnp.ndarray:
     """Per-sample partition-table lookup: (B, 64) table x (B, N) indices
     -> (B, N).  A 64-way select-accumulate on purpose: take_along_axis
     lowers to a per-element gather on TPU (measured ~100x slower than
-    the equivalent elementwise chain)."""
+    the equivalent elementwise chain).  Prefer :func:`expand_to_samples`
+    when the indices follow the contiguous-partition layout — it replaces
+    the 64 full-width selects with a (B, 64) fine-grid select plus one
+    static broadcast."""
     out = jnp.zeros(part_idx.shape, table.dtype)
     for p in range(MAX_PARTITIONS):
         out = out + jnp.where(part_idx == p, table[:, p:p + 1], 0)
     return out
+
+
+def expand_fine(table: jnp.ndarray, po: jnp.ndarray, max_po: int) -> jnp.ndarray:
+    """(B, 64) level-layout table + chosen order -> (B, 2^max_po) fine grid.
+
+    Entry f of the result is ``table[b, f >> (max_po - po[b])]`` — the
+    chosen-partition value of fine cell f.  Partition tables are tiny, so
+    the per-level masked chain runs on (B, 2^max_po) arrays instead of the
+    (B, N) sample panel; per-sample values then follow from one static
+    ``jnp.repeat`` (a broadcast, not a gather).
+    """
+    B = table.shape[0]
+    fine_parts = 1 << max_po
+    out = jnp.broadcast_to(table[:, :1], (B, fine_parts))
+    for lvl in range(1, max_po + 1):
+        lvl_fine = jnp.repeat(table[:, :1 << lvl], fine_parts >> lvl, axis=1)
+        out = jnp.where((po == lvl)[:, None], lvl_fine, out)
+    return out
+
+
+def expand_to_samples(table: jnp.ndarray, po: jnp.ndarray, block_size: int,
+                      max_po: int) -> jnp.ndarray:
+    """(B, 64) table -> (B, block_size) per-sample values under the chosen
+    partition order (contiguous partitions).  One fine-grid select chain +
+    one static repeat; replaces :func:`part_lookup` on sample panels."""
+    fine = expand_fine(table, po, max_po)
+    return jnp.repeat(fine, block_size >> max_po, axis=1)
 
 
 def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
@@ -163,13 +193,13 @@ def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
     # ---- exact serialized size of the chosen plan ----
     rice_bits_field = 5 if rice_max == 31 else 4
     parts_chosen = jnp.int64(1) << po.astype(jnp.int64)
-    part_len_chosen = block_size // parts_chosen  # (B,)
 
-    # map each sample position to its partition index under the chosen order
-    part_idx = jnp.minimum(pos[None, :] // part_len_chosen[:, None],
-                           MAX_PARTITIONS - 1)
-    k_per_sample = part_lookup(params.astype(jnp.int64), part_idx)
-    kind_per_sample = part_lookup(kinds.astype(jnp.int32), part_idx)
+    # per-sample partition values under the chosen order via the fine grid
+    # (one (B, 2^max_po) select chain + a static repeat; no gathers)
+    k_per_sample = expand_to_samples(params.astype(jnp.int64), po,
+                                     block_size, max_po)
+    kind_per_sample = expand_to_samples(kinds.astype(jnp.int32), po,
+                                        block_size, max_po)
     in_res = pos[None, :] >= order[:, None]
 
     u = zigzag(res).astype(jnp.int64)

@@ -139,17 +139,59 @@ def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
     # packed_words/packed_meta are global (not batch-major) and stay whole
     B = pcm.shape[0]
     plan = dict(plan)
+    if "frame_words" in plan:  # per-frame slots are batch-major
+        W = plan["frame_words"].shape[0] // plan["assignment"].shape[0]
+        plan["frame_words"] = plan["frame_words"][:B * W]
+        for key in ("body_bits", "inner_crc", "frame_fallback"):
+            plan[key] = plan[key][:B]
     plan["assignment"] = plan["assignment"][:B]
     plan["channels"] = [{k: v[:B] for k, v in ch.items()}
                        for ch in plan["channels"]]
     nat = native.load()
     if nat is not None:
+        if "frame_words" in plan:
+            return _assemble_frames_packed(nat, plan, pcm, streaminfo,
+                                           first_frame_number,
+                                           fallback_options,
+                                           nthreads=nthreads)
         return _assemble_frames_native(nat, plan, pcm, streaminfo,
                                        first_frame_number, fallback_options,
                                        nthreads=nthreads)
-    if "packed_words" in plan:
+    if "packed_words" in plan or "frame_words" in plan:
         raise RuntimeError("device-packed plans need the native assembler")
     return _assemble_frames_python(plan, pcm, streaminfo, first_frame_number)
+
+
+def _assemble_frames_packed(nat, plan: dict, pcm: np.ndarray,
+                            streaminfo: meta.Streaminfo,
+                            first_frame_number: int,
+                            fallback_options=None,
+                            nthreads: int = 0) -> List[bytes]:
+    """Frame-packed plans (ops/framepack.py): the device serialized every
+    frame's complete body; the host writes headers + memcpy + CRC finish."""
+    B, C, N = pcm.shape
+    W = plan["frame_words"].shape[0] // B
+    words = plan["frame_words"].astype(">u4")  # big-endian = bit order
+    blob = np.ascontiguousarray(words).view(np.uint8)
+    fallback = np.ascontiguousarray(plan["frame_fallback"], dtype=np.uint8)
+    frames = nat.assemble_packed(
+        N=N, bps_base=streaminfo.bits_per_sample,
+        sample_rate=streaminfo.sample_rate,
+        first_frame_number=first_frame_number,
+        assignment=np.ascontiguousarray(plan["assignment"], dtype=np.uint8),
+        blob=blob, slot_bytes=W * 4,
+        body_bits=np.ascontiguousarray(plan["body_bits"], dtype=np.uint64),
+        inner_crc=np.ascontiguousarray(plan["inner_crc"], dtype=np.uint16),
+        fallback=fallback, nthreads=nthreads)
+    redo = np.array([f is None for f in frames], dtype=bool)
+    if redo.any():
+        assert fallback_options is not None, \
+            "packed assembly needs fallback_options for fallback frames"
+        for b in np.nonzero(redo)[0]:
+            frames[b] = encode_frame(
+                fallback_options, streaminfo, first_frame_number + int(b),
+                [pcm[b, c].astype(np.int64) for c in range(pcm.shape[1])])
+    return frames
 
 
 def _assemble_frames_native(nat, plan: dict, pcm: np.ndarray,
@@ -310,7 +352,8 @@ class BatchEncoder:
                  bits_per_sample: int, channels: int,
                  total_samples: Optional[int] = None,
                  batch_frames: int = 64, mesh=None, analysis: str = "auto",
-                 pack_budget: Optional[int] = None):
+                 pack_budget: Optional[int] = None,
+                 frame_pack: Optional[bool] = None):
         # exact int64 residual math needs x64 even in f32-analysis mode
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
@@ -325,6 +368,12 @@ class BatchEncoder:
         if pack_budget is None:
             pack_budget = bits_per_sample + 2
         self.pack_budget = pack_budget if _native_mod.load() is not None else 0
+        # frame_pack: serialize WHOLE frame bodies on device (subframe
+        # headers + warm-ups + LPC params + residuals + CRC-16 inner
+        # product) so host assembly degenerates to header-write + memcpy.
+        # Default on whenever packing is available.
+        self.frame_pack = bool(self.pack_budget) if frame_pack is None \
+            else (frame_pack and bool(self.pack_budget))
         if isinstance(fp_or_path, (str, bytes)):
             fp_or_path = open(fp_or_path, "wb+")
             self._owns_fp = True
@@ -390,6 +439,7 @@ class BatchEncoder:
             else tuple(o.window),
             analysis=self.analysis,
             pack_budget=self.pack_budget,
+            frame_pack=self.frame_pack,
         )
         # single-blob plan: ONE device->host transfer per batch (a plan
         # dict has ~25 leaves; per-leaf DMAs pay a full RPC round trip

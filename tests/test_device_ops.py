@@ -278,6 +278,75 @@ def test_batch_pipeline_signal_classes():
         assert b1.getvalue() == b2.getvalue(), f"mismatch for {name}"
 
 
+def test_batch_pipeline_residual_pack_mode():
+    """frame_pack=False keeps the residual-only packed path (blob splice in
+    the native assembler) bit-identical — the mode the mesh dryrun and
+    older plans use."""
+    rng = np.random.default_rng(31)
+    bs = 512
+    n = bs * 4 + 77
+    t = np.arange(n)
+    sig = (3000 * np.sin(t * 0.02) + rng.integers(-50, 50, n)).astype(np.int32)
+    inter = np.stack([sig, np.roll(sig, 7)]).T.reshape(-1)
+    opts = Options(block_size=bs)
+    b1 = io.BytesIO()
+    w = FlacSampleWriter(b1, opts, 44100, 16, 2, total_samples=n)
+    w.write(inter)
+    w.finalize()
+    b2 = io.BytesIO()
+    be = BatchEncoder(b2, opts, 44100, 16, 2, total_samples=n,
+                      batch_frames=2, analysis="f64", frame_pack=False)
+    assert not be.frame_pack
+    be.write(inter)
+    be.finalize()
+    assert b1.getvalue() == b2.getvalue()
+
+
+def test_frame_pack_crc_inner_product():
+    """The device CRC-16 inner product + host x^(8L+15) finish equals the
+    byte-serial CRC for random messages in zero-padded slots (the identity
+    ops/framepack.py builds frames on)."""
+    from flac_codec_tpu.crc import crc16
+    from flac_codec_tpu.ops.framepack import (CRC16_POLY, crc16_inner,
+                                              crc16_neg_pow_table)
+
+    def gfmul(a, b):
+        r = 0
+        for i in range(16):
+            if (b >> i) & 1:
+                r ^= a << i
+        for i in range(30, 15, -1):
+            if (r >> i) & 1:
+                r ^= CRC16_POLY << (i - 16)
+        return r
+
+    def xpow8(nbytes):
+        r, v = 1, 0x100
+        while nbytes:
+            if nbytes & 1:
+                r = gfmul(r, v)
+            v = gfmul(v, v)
+            nbytes >>= 1
+        return r
+
+    rng = np.random.default_rng(41)
+    W = 16  # words per slot
+    B = 8
+    table = crc16_neg_pow_table(W * 32)
+    lengths = rng.integers(1, W * 4 - 3, B)
+    slots = np.zeros((B, W), dtype=np.uint32)
+    msgs = []
+    for b in range(B):
+        raw = rng.integers(0, 256, W * 4, dtype=np.uint32).astype(np.uint8)
+        raw[lengths[b]:] = 0
+        msgs.append(bytes(raw[:lengths[b]]))
+        slots[b] = raw.view(">u4").astype(np.uint32)
+    inner = np.asarray(crc16_inner(jnp.asarray(slots), table))
+    for b in range(B):
+        got = gfmul(int(inner[b]), gfmul(xpow8(int(lengths[b])), 0x8000))
+        assert got == crc16(msgs[b]), b
+
+
 def test_batch_pipeline_unknown_total():
     """Streaming without total_samples (placeholder-free seektable path)."""
     rng = np.random.default_rng(29)

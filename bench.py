@@ -70,9 +70,12 @@ def make_audio(n_samples: int, seed: int = 0) -> np.ndarray:
 
 
 def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
-                     pack_budget: int, reps: int, chain: int) -> tuple:
+                     pack_budget: int, reps: int, chain: int,
+                     frame_pack: bool = True) -> tuple:
     """Honest steady-state device step rate: dependency-chained dispatch
-    with a scalar-download sync (see module methodology note)."""
+    with a scalar-download sync (see module methodology note).  With
+    ``frame_pack`` (the production default) the step includes full-frame
+    body serialization + the CRC-16 inner product on device."""
     N = opts.block_size
     inter = make_audio(N * batch_frames)  # returns interleaved stereo, 2x len
     pcm = inter.reshape(batch_frames, N, 2).transpose(0, 2, 1)
@@ -82,7 +85,8 @@ def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
               max_partition_order=opts.max_partition_order,
               mid_side=opts.mid_side,
               exhaustive=opts.exhaustive_channel_correlation,
-              analysis=analysis, pack_budget=pack_budget)
+              analysis=analysis, pack_budget=pack_budget,
+              frame_pack=frame_pack)
 
     @jax.jit
     def step(x):
@@ -265,16 +269,6 @@ def assemble_sweep_mbps(opts: Options):
     pcm_a = make_audio(opts.block_size * B).reshape(
         B, opts.block_size, 2).transpose(0, 2, 1)
     pcm_a = np.ascontiguousarray(pcm_a)
-    kw = dict(bits_per_sample=16, block_size=opts.block_size,
-              max_lpc_order=opts.max_lpc_order,
-              max_partition_order=opts.max_partition_order,
-              mid_side=opts.mid_side,
-              exhaustive=opts.exhaustive_channel_correlation,
-              analysis="f32", pack_budget=18)
-    dev_in = jnp.asarray(pcm_a.astype(np.int16))
-    blob = np.asarray(encode_frames_plan_blob(dev_in, **kw))
-    spec = plan_blob_spec(dev_in.shape, dev_in.dtype, **kw)
-    plan = unpack_plan_blob(blob, spec)
     from flac_codec_tpu import metadata as _meta
 
     si_a = _meta.Streaminfo(minimum_block_size=opts.block_size,
@@ -282,21 +276,37 @@ def assemble_sweep_mbps(opts: Options):
                     channels=2, bits_per_sample=16,
                     total_samples=B * opts.block_size)
     asm_mb = B * opts.block_size * 4 / 1e6
-    asm_sweep = {}
-    for nt in (1, 2, 4, 8, 16):
-        if nt > max(2 * ncores, 2):
-            break
-        best_nt = None
-        for _ in range(6):
-            t0 = time.perf_counter()
-            frames = assemble_frames(plan, pcm_a, si_a, 0,
-                                     fallback_options=opts, nthreads=nt)
-            dt = time.perf_counter() - t0
-            best_nt = dt if best_nt is None else min(best_nt, dt)
-        assert all(frames)
-        asm_sweep[str(nt)] = round(asm_mb / best_nt, 1)
+    dev_in = jnp.asarray(pcm_a.astype(np.int16))
 
-    return asm_sweep
+    sweeps = {}
+    # residual-blob splice (legacy) vs full-frame packed splice (the
+    # production default: ~10 header bytes + memcpy + CRC finish per frame)
+    for name, frame_pack in (("splice", False), ("packed", True)):
+        kw = dict(bits_per_sample=16, block_size=opts.block_size,
+                  max_lpc_order=opts.max_lpc_order,
+                  max_partition_order=opts.max_partition_order,
+                  mid_side=opts.mid_side,
+                  exhaustive=opts.exhaustive_channel_correlation,
+                  analysis="f32", pack_budget=18, frame_pack=frame_pack)
+        blob = np.asarray(encode_frames_plan_blob(dev_in, **kw))
+        spec = plan_blob_spec(dev_in.shape, dev_in.dtype, **kw)
+        plan = unpack_plan_blob(blob, spec)
+        sweep = {}
+        for nt in (1, 2, 4, 8, 16):
+            if nt > max(2 * ncores, 2):
+                break
+            best_nt = None
+            for _ in range(6):
+                t0 = time.perf_counter()
+                frames = assemble_frames(plan, pcm_a, si_a, 0,
+                                         fallback_options=opts, nthreads=nt)
+                dt = time.perf_counter() - t0
+                best_nt = dt if best_nt is None else min(best_nt, dt)
+            assert all(frames)
+            sweep[str(nt)] = round(asm_mb / best_nt, 1)
+        sweeps[name] = sweep
+
+    return sweeps
 
 
 def main() -> None:
@@ -357,7 +367,8 @@ def main() -> None:
     if _compression_ratio is not None:
         out["compression_ratio_preset8"] = round(_compression_ratio, 4)
     if asm_sweep is not None:
-        out["assemble_mbps_by_threads"] = asm_sweep
+        out["assemble_mbps_by_threads"] = asm_sweep.get("splice")
+        out["assemble_packed_mbps_by_threads"] = asm_sweep.get("packed")
     print(json.dumps(out))
 
 

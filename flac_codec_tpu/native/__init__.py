@@ -19,6 +19,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "flacnat.cpp")
 _SO = os.path.join(_HERE, "libflacnat.so")
 
+_SO_V3 = os.path.join(_HERE, "libflacnat_v3.so")
+
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -409,7 +411,41 @@ def load() -> Native | None:
                                 "-o", _SO + ".tmp"],
                                check=True, capture_output=True)
                 os.replace(_SO + ".tmp", _SO)
-            _lib = Native(ctypes.CDLL(_SO))
+            # the portable build leaves scalar-hot-loop codegen on the
+            # table (bsr instead of lzcnt in the Rice clz chain, no BMI2
+            # shlx: ~13% of whole-stream decode measured); when this host
+            # can both run and compile an x86-64-v3 build, prefer a
+            # locally-built flavor.  The committed artifact stays the
+            # portable one, so a copied checkout is always safe.
+            so = _SO
+            if _cpu_is_v3() and not os.environ.get("FLAC_TPU_PORTABLE_SO"):
+                try:
+                    if (not os.path.exists(_SO_V3) or
+                            os.path.getmtime(_SO_V3) < os.path.getmtime(_SRC)):
+                        subprocess.run(
+                            ["g++", "-O3", "-march=x86-64-v3", "-shared",
+                             "-fPIC", _SRC, "-o", _SO_V3 + ".tmp"],
+                            check=True, capture_output=True)
+                        os.replace(_SO_V3 + ".tmp", _SO_V3)
+                    so = _SO_V3
+                except Exception:
+                    so = _SO  # no compiler / build failure: portable build
+            _lib = Native(ctypes.CDLL(so))
             return _lib
         except Exception:
             return None
+
+
+def _cpu_is_v3() -> bool:
+    """True iff this CPU meets the x86-64-v3 feature level (the flags the
+    v3 build may emit anywhere, not just in dispatch-guarded functions)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = set(line.split(":", 1)[1].split())
+                    return {"avx2", "bmi1", "bmi2", "fma", "movbe",
+                            "abm", "f16c"} <= flags
+    except OSError:
+        pass
+    return False

@@ -22,9 +22,14 @@ ASSIGNMENTS = (
 )
 
 
-def candidates(pcm: jnp.ndarray) -> jnp.ndarray:
-    """(B, 2, N) int32 -> (B, 4, N) int64 candidate channels [L, R, M, S]."""
-    x = pcm.astype(jnp.int64)
+def candidates(pcm: jnp.ndarray, dtype=jnp.int64) -> jnp.ndarray:
+    """(B, 2, N) int32 -> (B, 4, N) candidate channels [L, R, M, S].
+
+    ``dtype`` may be int32 when the input samples fit 26 bits (side needs
+    one extra bit and l+r one more transiently) — the planner's narrow
+    analysis mode, which halves HBM traffic on every panel pass.
+    """
+    x = pcm.astype(dtype)
     left, right = x[:, 0], x[:, 1]
     mid = (left + right) >> 1
     side = left - right

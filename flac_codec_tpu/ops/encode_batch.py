@@ -26,12 +26,15 @@ from .common import (BIG, TYPE_CONSTANT, TYPE_FIXED, TYPE_LPC,
 
 
 def _wasted_bits(x: jnp.ndarray):
-    """(B, N) int64 -> (wasted (B,) int32, all_zero (B,) bool).
+    """(B, N) int64/int32 -> (wasted (B,) int32, all_zero (B,) bool).
 
     Minimum trailing zeros when every sample has at least one; 32 when the
     channel is silent (reference: src/encode.rs:2877-2898).
     """
-    u = jnp.bitwise_and(x, 0xFFFFFFFF).astype(jnp.uint32)
+    if x.dtype == jnp.int32:
+        u = x.astype(jnp.uint32)  # two's-complement reinterpret
+    else:
+        u = jnp.bitwise_and(x, 0xFFFFFFFF).astype(jnp.uint32)
     low = jnp.bitwise_and(u, (~u + jnp.uint32(1)))  # lowest set bit
     # trailing zeros = 31 - clz(lowest set bit); zero -> 32
     tz = jnp.where(
@@ -55,7 +58,7 @@ def _analyze_channel(x: jnp.ndarray, bps: int, win: jnp.ndarray,
     rice_max = 31 if use_rice2 else 15
 
     wasted, all_zero = _wasted_bits(x)
-    xs = jax.lax.shift_right_arithmetic(x, wasted.astype(jnp.int64)[:, None])
+    xs = jax.lax.shift_right_arithmetic(x, wasted.astype(x.dtype)[:, None])
     bps_eff = bps - wasted  # (B,)
     header_bits = 8 + jnp.where(wasted > 0, wasted, 0)
 
@@ -88,7 +91,7 @@ def _analyze_channel(x: jnp.ndarray, bps: int, win: jnp.ndarray,
             "order": jnp.zeros(B, jnp.int32),
             "shift": jnp.zeros(B, jnp.int32),
             "qcoeffs": jnp.zeros((B, lpc.MAX_ORDER), jnp.int32),
-            "residuals": jnp.zeros((B, N), jnp.int64),
+            "residuals": jnp.zeros((B, N), x.dtype),
             "precision": precision_for_block_size(block_size),
         }
         lplan = {k: jnp.zeros_like(v) for k, v in fplan.items()}
@@ -253,12 +256,29 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
                       use_rice2=use_rice2)
 
     if C == 2 and bits_per_sample < 32:
-        cands = decorrelate.candidates(pcm)  # (B, 4, N) [L, R, M, S]
+        # narrow (int32) analysis panels whenever the widest candidate
+        # channel (side = bps+1 bits) plus the 4 bits of widening from the
+        # order-4 fixed diff cascade stays int32-exact: bps+1+4 <= 31.
+        # Halves HBM bytes on every panel pass and avoids TPU int64
+        # emulation; validity masks still discard any LPC residual that
+        # exceeds int32 (flagged exactly, from the int64 accumulator).
+        panel_dtype = jnp.int32 if bits_per_sample <= 26 else jnp.int64
+        cands = decorrelate.candidates(pcm, panel_dtype)  # (B,4,N) [L,R,M,S]
         bps4 = decorrelate.candidate_bps(bits_per_sample)
         assignments = decorrelate.ASSIGNMENTS if mid_side else \
             decorrelate.ASSIGNMENTS[:3]
 
-        plans = [analyze(cands[:, i], bps4[i]) for i in range(4)]
+        # all four candidate channels analyzed as ONE (4B, N) batch: the
+        # analysis graph contains order-axis-sequential sections (Levinson,
+        # quantize error feedback) whose latency is B-independent, so four
+        # separate calls would pay that latency four times
+        flat = cands.reshape(B * 4, N)
+        bps_flat = jnp.tile(jnp.asarray(bps4, jnp.int32), B)
+        full = analyze(flat, bps_flat)
+        plans = [
+            {k: v.reshape((B, 4) + v.shape[1:])[:, i] for k, v in full.items()}
+            for i in range(4)
+        ]
 
         if exhaustive:
             totals = jnp.stack(
@@ -267,7 +287,7 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
             choice = jnp.argmin(totals, axis=1)  # ties -> reference order
         else:
             # fast abs-sum rule (reference: src/encode.rs:2463-2674)
-            sums = jnp.abs(cands).sum(axis=2)  # (B, 4)
+            sums = jnp.abs(cands).sum(axis=2, dtype=jnp.int64)  # (B, 4)
             if mid_side:
                 cand_order = [(0b0001, 0, 1), (0b1000, 0, 3),
                               (0b1001, 3, 1), (0b1010, 2, 3)]
@@ -288,8 +308,18 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
     else:
         # independent layout (mono, >2 channels, or 32 bps stereo)
         assignment = jnp.full(B, C - 1, jnp.uint8)
-        chans = [analyze(pcm[:, c].astype(jnp.int64), bits_per_sample)
-                 for c in range(C)]
+        panel_dtype = jnp.int32 if bits_per_sample <= 27 else jnp.int64
+        if C > 1:
+            flat = pcm.reshape(B * C, N).astype(panel_dtype)
+            full = analyze(flat, jnp.int32(bits_per_sample))
+            chans = [
+                {k: v.reshape((B, C) + v.shape[1:])[:, c]
+                 for k, v in full.items()}
+                for c in range(C)
+            ]
+        else:
+            chans = [analyze(pcm[:, 0].astype(panel_dtype),
+                             jnp.int32(bits_per_sample))]
         plan = {"assignment": assignment, "channels": chans}
 
     if pack_budget and frame_pack:

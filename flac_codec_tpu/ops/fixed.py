@@ -14,13 +14,19 @@ I32_MIN = -(1 << 31)
 
 
 def diff_cascade(x: jnp.ndarray):
-    """(B, N) int64 -> (diffs (B, 5, N) int64, valid (B, 5) bool).
+    """(B, N) int -> (diffs (B, 5, N), valid (B, 5) bool).
 
     Order-k diffs occupy positions k..N-1 (positions < k are zero).
     ``valid[b, k]`` is False when order k's diffs overflowed i32 (which
     also invalidates every higher order) or the buffer would be empty.
+
+    int32 input is the planner's narrow mode and REQUIRES samples of at
+    most 27 bits: each diff stage widens by one bit, so order-4 diffs stay
+    within int32 and the reference's i32-overflow abort can never fire
+    (the min/max overflow reductions are skipped entirely).
     """
     B, N = x.shape
+    narrow = x.dtype == jnp.int32
     diffs = [x]
     valid = [jnp.ones(B, dtype=bool)]
     cur = x
@@ -31,9 +37,13 @@ def diff_cascade(x: jnp.ndarray):
         # zero the positions below the order (they hold stale lower-order data)
         idx = jnp.arange(N)
         nxt = jnp.where(idx[None, :] >= k, nxt, 0)
-        ok = valid[-1] & (N - k >= 1) & \
-            (jnp.max(jnp.where(idx[None, :] >= k, nxt, 0), axis=1) <= I32_MAX) & \
-            (jnp.min(jnp.where(idx[None, :] >= k, nxt, 0), axis=1) >= I32_MIN)
+        ok = valid[-1] & (N - k >= 1)
+        if not narrow:
+            ok = ok & \
+                (jnp.max(jnp.where(idx[None, :] >= k, nxt, 0), axis=1)
+                 <= I32_MAX) & \
+                (jnp.min(jnp.where(idx[None, :] >= k, nxt, 0), axis=1)
+                 >= I32_MIN)
         diffs.append(nxt)
         valid.append(ok)
         cur = nxt
@@ -51,7 +61,7 @@ def best_order(diffs: jnp.ndarray, valid: jnp.ndarray):
     idx = jnp.arange(N)
     order_ids = jnp.arange(K)
     a = jnp.abs(diffs) * (idx[None, None, :] >= order_ids[None, :, None])
-    totals = a.sum(axis=2)  # (B, 5)
+    totals = a.sum(axis=2, dtype=jnp.int64)  # (B, 5)
 
     # last valid order per batch entry
     last_valid = jnp.max(jnp.where(valid, order_ids[None, :], 0), axis=1)  # (B,)
@@ -60,7 +70,7 @@ def best_order(diffs: jnp.ndarray, valid: jnp.ndarray):
     # 0..4: element j of buffer k sits at position k + j, so only the
     # first 9 sample positions ever contribute — compute on that slice
     # instead of masking the full panel
-    head = jnp.abs(diffs[:, :, :9])  # (B, 5, 9)
+    head = jnp.abs(diffs[:, :, :9]).astype(jnp.int64)  # (B, 5, 9)
     hcum = jnp.concatenate(
         [jnp.zeros_like(head[:, :, :1]), jnp.cumsum(head, axis=2)], axis=2)
     # firsts[b, k, j] = sum head[k, k:k+j] = hcum[k, k+j] - hcum[k, k]

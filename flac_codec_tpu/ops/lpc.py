@@ -55,46 +55,37 @@ def levinson(autoc: jnp.ndarray, max_order: int):
     (B, max_order+1) -> (all_coeffs (B, max_order, MAX_ORDER),
                          all_errors (B, max_order))
     Column j of order-o row holds c_j (j < o), zero-padded beyond.
+
+    Unrolled over the (static, small) order axis: the whole recursion is
+    one fused elementwise DAG over (B,) columns — max_order is 8-32, so a
+    sequential device loop would be pure per-iteration launch latency,
+    B-independent and dominating small production batches.
     """
     B = autoc.shape[0]
     M = max_order
-    j_idx = jnp.arange(MAX_ORDER)
 
     k0 = autoc[:, 1] / autoc[:, 0]
-    coeffs = jnp.zeros((B, MAX_ORDER), autoc.dtype).at[:, 0].set(k0)
     err = autoc[:, 0] * (1.0 - k0 * k0)
-
-    all_coeffs = jnp.zeros((B, M, MAX_ORDER), autoc.dtype).at[:, 0].set(coeffs)
-    all_errs = jnp.zeros((B, M), autoc.dtype).at[:, 0].set(err)
-
-    # reversed autocorrelation, right-padded so every loop iteration's
-    # window is one contiguous dynamic_slice (TPU-friendly) instead of a
-    # per-element gather: ar_pad[:, M-i+j] == autoc[:, i-j]
-    ar_pad = jnp.pad(jnp.flip(autoc, axis=1), ((0, 0), (0, MAX_ORDER)))
-
-    def body(i, carry):
-        coeffs, err, all_coeffs, all_errs = carry
+    coeffs = [k0]            # list of (B,) coefficient columns, len == order
+    rows = [coeffs]
+    errs = [err]
+    for i in range(1, M):
         # q = autoc[:, i+1] - sum_{j<i} autoc[:, i-j] * c_j
-        a = jax.lax.dynamic_slice(ar_pad, (0, M - i), (B, MAX_ORDER))
-        a = jnp.where(j_idx[None, :] < i, a, 0.0)
-        q = jax.lax.dynamic_slice(autoc, (0, i + 1), (B, 1))[:, 0] \
-            - (a * coeffs).sum(axis=1)
+        q = autoc[:, i + 1]
+        for j in range(i):
+            q = q - autoc[:, i - j] * coeffs[j]
         k = q / err
-        # c'_j = c_j - k * c_{i-1-j} (j < i); c'_i = k — the reversed
-        # window is again one contiguous slice of the flipped coefficients
-        cr_pad = jnp.pad(jnp.flip(coeffs, axis=1), ((0, 0), (0, MAX_ORDER)))
-        rev = jax.lax.dynamic_slice(cr_pad, (0, MAX_ORDER - i), (B, MAX_ORDER))
-        new = jnp.where(j_idx[None, :] < i, coeffs - k[:, None] * rev, 0.0)
-        new = jnp.where(j_idx[None, :] == i, k[:, None], new)
+        # c'_j = c_j - k * c_{i-1-j} (j < i); c'_i = k
+        coeffs = [coeffs[j] - k * coeffs[i - 1 - j] for j in range(i)] + [k]
         err = err * (1.0 - k * k)
-        all_coeffs = jax.lax.dynamic_update_index_in_dim(
-            all_coeffs, new, i, axis=1)
-        all_errs = jax.lax.dynamic_update_index_in_dim(all_errs, err, i, axis=1)
-        return new, err, all_coeffs, all_errs
+        rows.append(coeffs)
+        errs.append(err)
 
-    if M > 1:
-        _, _, all_coeffs, all_errs = jax.lax.fori_loop(
-            1, M, body, (coeffs, err, all_coeffs, all_errs))
+    zero = jnp.zeros(B, autoc.dtype)
+    all_coeffs = jnp.stack(
+        [jnp.stack(r + [zero] * (MAX_ORDER - len(r)), axis=1) for r in rows],
+        axis=1)
+    all_errs = jnp.stack(errs, axis=1)
     return all_coeffs, all_errs
 
 
@@ -126,12 +117,18 @@ def best_order(all_errs: jnp.ndarray, bits_per_sample, precision: int,
     return order.astype(jnp.int32), valid
 
 
-def quantize(coeffs: jnp.ndarray, order: jnp.ndarray, precision: int):
+def quantize(coeffs: jnp.ndarray, order: jnp.ndarray, precision: int,
+             max_taps: int = MAX_ORDER):
     """Batched error-feedback quantization (reference:
     src/encode.rs:3334-3401).
 
     coeffs: (B, MAX_ORDER) float (zero beyond order); order: (B,) int.
     Returns (shift (B,) int32, qcoeffs (B, MAX_ORDER) int32, valid (B,)).
+
+    The error-feedback chain is sequential in the tap index; it is
+    unrolled over the static ``max_taps`` (the configured max LPC order)
+    so it compiles to one fused DAG of (B,) ops instead of MAX_ORDER
+    latency-bound loop iterations.
     """
     B = coeffs.shape[0]
     j_idx = jnp.arange(MAX_ORDER)
@@ -153,21 +150,17 @@ def quantize(coeffs: jnp.ndarray, order: jnp.ndarray, precision: int):
         jnp.exp2(shift_raw.astype(coeffs.dtype)),
         1.0 / jnp.exp2((-shift_raw).astype(coeffs.dtype)))
 
-    def body(j, carry):
-        err, out = carry
-        c = jax.lax.dynamic_index_in_dim(coeffs, j, axis=1, keepdims=False)
+    err = jnp.zeros(B, coeffs.dtype)
+    cols = []
+    for j in range(min(max_taps, MAX_ORDER)):
         active = j < order
-        s = c * scale + err
+        s = coeffs[:, j] * scale + err
         q = jnp.clip(round_half_away(s), min_coeff, max_coeff)
-        new_err = jnp.where(active, s - q, err)
-        out = jax.lax.dynamic_update_index_in_dim(
-            out, jnp.where(active, q, 0.0).astype(jnp.int32).astype(out.dtype),
-            j, axis=1)
-        return new_err, out
-
-    err0 = jnp.zeros(B, coeffs.dtype)
-    out0 = jnp.zeros((B, MAX_ORDER), jnp.int32)
-    _, qcoeffs = jax.lax.fori_loop(0, MAX_ORDER, body, (err0, out0))
+        err = jnp.where(active, s - q, err)
+        cols.append(jnp.where(active, q, 0.0).astype(jnp.int32))
+    qcoeffs = jnp.stack(cols, axis=1)
+    if len(cols) < MAX_ORDER:
+        qcoeffs = jnp.pad(qcoeffs, ((0, 0), (0, MAX_ORDER - len(cols))))
     valid = nonzero & neg_shift_ok
     return shift.astype(jnp.int32), qcoeffs, valid
 
@@ -178,9 +171,13 @@ def residuals(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
     r[n] = x[n] - ((sum_j q_j x[n-1-j]) >> shift), n >= order
     (reference: src/encode.rs:3174-3203).
 
-    x: (B, N) int64; qcoeffs: (B, MAX_ORDER) int32 zero-padded; only the
-    first ``max_taps`` taps can be nonzero (the configured max LPC order).
-    Returns (res (B, N) int64 valid at positions >= order, overflow (B,)).
+    x: (B, N) int64 or int32 (narrow analysis mode); qcoeffs: (B,
+    MAX_ORDER) int32 zero-padded; only the first ``max_taps`` taps can be
+    nonzero (the configured max LPC order).
+    Returns (res (B, N) in x's dtype, valid at positions >= order,
+    overflow (B,)).  The accumulator is always exact int64; in narrow
+    mode an int32-overflowing residual wraps in the returned panel, but
+    ``overflow`` flags it and the planner discards the candidate.
     """
     B, N = x.shape
     acc = jnp.zeros((B, N), jnp.int64)
@@ -188,16 +185,16 @@ def residuals(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
     for j in range(min(max_taps, MAX_ORDER)):
         # x[n-1-j] with left zero-pad
         shifted = jnp.pad(x, ((0, 0), (j + 1, 0)))[:, :N]
-        acc = acc + q64[:, j:j + 1] * shifted
+        acc = acc + q64[:, j:j + 1] * shifted.astype(jnp.int64)
     pred = jax.lax.shift_right_arithmetic(
         acc, shift.astype(jnp.int64)[:, None])
-    res = x - pred
+    res = x.astype(jnp.int64) - pred
     idx = jnp.arange(N)
     in_res = idx[None, :] >= order[:, None]
     res = jnp.where(in_res, res, 0)
-    overflow = (jnp.max(jnp.where(in_res, res, 0), axis=1) > (1 << 31) - 1) | \
-               (jnp.min(jnp.where(in_res, res, 0), axis=1) < -(1 << 31))
-    return res, overflow
+    overflow = (jnp.max(res, axis=1) > (1 << 31) - 1) | \
+               (jnp.min(res, axis=1) < -(1 << 31))
+    return res.astype(x.dtype), overflow
 
 
 def analyze(x: jnp.ndarray, win: jnp.ndarray, max_order: int,
@@ -219,7 +216,8 @@ def analyze(x: jnp.ndarray, win: jnp.ndarray, max_order: int,
     coeffs = all_coeffs[:, 0]
     for o in range(1, all_coeffs.shape[1]):
         coeffs = jnp.where((order == o + 1)[:, None], all_coeffs[:, o], coeffs)
-    shift, qcoeffs, quant_valid = quantize(coeffs, order, precision)
+    shift, qcoeffs, quant_valid = quantize(coeffs, order, precision,
+                                           max_taps=max_order)
     res, overflow = residuals(x, qcoeffs, order, shift, max_taps=max_order)
     # all-zero quantized coefficients are also rejected by the reference's
     # bitstream layer only at write time; the ZeroLpCoefficients check

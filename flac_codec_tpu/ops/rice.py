@@ -36,8 +36,15 @@ def _partition_orders(block_size: int, max_partition_order: int):
 
 def zigzag(res: jnp.ndarray) -> jnp.ndarray:
     """Signed residual -> unsigned Rice symbol (reference zigzag:
-    src/stream.rs:2946-2958)."""
-    return jnp.where(res < 0, ((-res - 1) << 1) + 1, res << 1).astype(jnp.uint64)
+    src/stream.rs:2946-2958).
+
+    int32 input returns uint32 (the narrow analysis mode): the signed
+    arithmetic may wrap, but reinterpreted as uint32 the result is exactly
+    zigzag(res) mod 2^32, which is exact for |res| <= 2^31 — every residual
+    the planner's validity checks admit."""
+    out32 = res.dtype == jnp.int32
+    u = jnp.where(res < 0, ((-res - 1) << 1) + 1, res << 1)
+    return u.astype(jnp.uint32 if out32 else jnp.uint64)
 
 
 def part_lookup(table: jnp.ndarray, part_idx: jnp.ndarray) -> jnp.ndarray:
@@ -105,8 +112,10 @@ def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
     max_po = pos_orders[-1]
     max_parts = 1 << max_po
 
-    # base reduction at the finest granularity
-    base = abs_res.reshape(B, max_parts, N // max_parts).sum(axis=2)  # (B,P)
+    # base reduction at the finest granularity (int64 accumulate: partition
+    # abs-sums exceed int32 even for narrow int32 residual panels)
+    base = abs_res.reshape(B, max_parts, N // max_parts).sum(
+        axis=2, dtype=jnp.int64)  # (B,P)
     # per-level sums, level i has 2^i partitions
     sums_by_level = [None] * (max_po + 1)
     sums_by_level[max_po] = base
@@ -196,23 +205,35 @@ def search(res: jnp.ndarray, order: jnp.ndarray, block_size: int,
 
     # per-sample partition values under the chosen order via the fine grid
     # (one (B, 2^max_po) select chain + a static repeat; no gathers)
-    k_per_sample = expand_to_samples(params.astype(jnp.int64), po,
-                                     block_size, max_po)
+    k_per_sample = expand_to_samples(params, po, block_size, max_po)
     kind_per_sample = expand_to_samples(kinds.astype(jnp.int32), po,
                                         block_size, max_po)
     in_res = pos[None, :] >= order[:, None]
 
-    u = zigzag(res).astype(jnp.int64)
-    quotient = jax.lax.shift_right_logical(u, jnp.maximum(k_per_sample, 0))
-    rice_sample_bits = quotient + k_per_sample + 1
-    escape_sample_bits = k_per_sample
-    sample_bits = jnp.where(
-        kind_per_sample == KIND_RICE, rice_sample_bits,
-        jnp.where(kind_per_sample == KIND_ESCAPE, escape_sample_bits, 0))
-    data_bits = jnp.where(in_res, sample_bits, 0).sum(axis=1)
+    # exact bits = sum of Rice quotients (the only per-sample term) plus
+    # per-partition closed forms: rice (k+1)*n_p, escape esc*n_p.  The
+    # quotient pass runs at the residual panel's width (uint32 in the
+    # narrow analysis mode) and everything else on (B, 64) tables.
+    u = zigzag(res)  # uint32 (narrow) / uint64
+    shift = jnp.maximum(k_per_sample, 0).astype(u.dtype)
+    quotient = jax.lax.shift_right_logical(u, shift)
+    q_live = jnp.where(in_res & (kind_per_sample == KIND_RICE), quotient,
+                       u.dtype.type(0))
+    if u.dtype == jnp.uint32:
+        data_q = q_live.sum(axis=1, dtype=jnp.int64)
+    else:
+        data_q = q_live.astype(jnp.int64).sum(axis=1)
 
     part_ids = jnp.arange(MAX_PARTITIONS)
     live = part_ids[None, :] < parts_chosen[:, None]
+    part_len = jnp.int64(block_size) >> po.astype(jnp.int64)  # (B,)
+    n_p = jnp.where(live, part_len[:, None], 0)
+    n_p = n_p.at[:, 0].add(-order.astype(jnp.int64))
+    p64 = params.astype(jnp.int64)
+    per_part = jnp.where(kinds == KIND_RICE, (p64 + 1) * n_p,
+                         jnp.where(kinds == KIND_ESCAPE, p64 * n_p, 0))
+    data_bits = data_q + per_part.sum(axis=1)
+
     header_bits = jnp.where(
         live,
         jnp.where(kinds == KIND_RICE, rice_bits_field, rice_bits_field + 5),

@@ -1026,6 +1026,13 @@ static inline int64_t hsum4_epi64(__m256i v) {
     return _mm_cvtsi128_si64(s) + _mm_extract_epi64(s, 1);
 }
 
+__attribute__((target("avx2")))
+static inline __m256i mul_taps(const int32_t* p, __m256i q) {
+    // lanes: sign-extended x[p[0..3]] * q, exact (|x| < 2^31, |q| < 2^15)
+    return _mm256_mul_epi32(_mm256_cvtepi32_epi64(
+        _mm_loadu_si128((const __m128i*)p)), q);
+}
+
 // Paired inverse predictor for the stereo hot path: the two channels'
 // recurrences are independent, so interleaving them fills the multiply
 // ports the single-channel chain leaves idle.  Taps j=0..3 stay scalar on
@@ -1034,10 +1041,22 @@ static inline int64_t hsum4_epi64(__m256i v) {
 // |q| < 2^15) with a 4-iteration dependency slack that hides the
 // multiply+reduce latency.  256-bit vectors on purpose: zmm multiplies
 // trip the AVX-512 frequency license on Skylake-class Xeons, which
-// throttles the scalar Rice loops running between frames.  Measured
-// ~1.5x over the scalar chain at orders 7-9
-// (reference hot loop: src/decode.rs:1738-1752).
-template <int NV>
+// throttles the scalar Rice loops running between frames.
+//
+// This shape was re-derived empirically on a Sapphire-Rapids-class core
+// against five alternatives, all of which measured SLOWER: (1) register-
+// carrying x[i-1..i-4] to skip the store-to-load forward (the forward is
+// NOT on the chain gcc emits: imul from a memory operand fuses, and the
+// extra rolling moves cost more than the forward); (2) 8 scalar taps
+// (16 imuls/pair serialize on the ~1-imul/cycle port and spill GPRs);
+// (3) group-of-4 vector partials with one 4x4 transpose-add (the 128-bit
+// loads overlap the previous group's 32-bit stores; the store-forward
+// stall lands on the inter-group chain); (4) a j>=2 vector boundary
+// (the extra chunk's port pressure eats the imul savings); (5) zmm
+// vpmuldq + reduce_add (the reduction sequence is longer than two ymm
+// hsums).  Only the omax <= 4 all-scalar pair (predict_pair_scalar4)
+// beat it, by ~25%.  (Reference hot loop: src/decode.rs:1738-1752.)
+template <int NV>  // NV = ceil((omax - 4) / 4) vector chunks, 1..7
 __attribute__((target("avx2")))
 static void predict_pair_main(int32_t* __restrict a, int32_t* __restrict b,
                               uint32_t start, uint32_t n,
@@ -1060,17 +1079,11 @@ static void predict_pair_main(int32_t* __restrict a, int32_t* __restrict b,
     const int64_t A0 = qsa[0], A1 = qsa[1], A2 = qsa[2], A3 = qsa[3];
     const int64_t B0 = qsb[0], B1 = qsb[1], B2 = qsb[2], B3 = qsb[3];
     for (uint32_t i = start; i < n; i++) {
-        __m256i pa = _mm256_mul_epi32(_mm256_cvtepi32_epi64(
-            _mm_loadu_si128((const __m128i*)&a[i - 4 - S])), QA[0]);
-        __m256i pb = _mm256_mul_epi32(_mm256_cvtepi32_epi64(
-            _mm_loadu_si128((const __m128i*)&b[i - 4 - S])), QB[0]);
+        __m256i pa = mul_taps(&a[i - 4 - S], QA[0]);
+        __m256i pb = mul_taps(&b[i - 4 - S], QB[0]);
         for (int v = 1; v < NV; v++) {
-            pa = _mm256_add_epi64(pa, _mm256_mul_epi32(_mm256_cvtepi32_epi64(
-                _mm_loadu_si128((const __m128i*)&a[i - 4 - S - 4 * v])),
-                QA[v]));
-            pb = _mm256_add_epi64(pb, _mm256_mul_epi32(_mm256_cvtepi32_epi64(
-                _mm_loadu_si128((const __m128i*)&b[i - 4 - S - 4 * v])),
-                QB[v]));
+            pa = _mm256_add_epi64(pa, mul_taps(&a[i - 4 - S - 4 * v], QA[v]));
+            pb = _mm256_add_epi64(pb, mul_taps(&b[i - 4 - S - 4 * v], QB[v]));
         }
         int64_t ra = hsum4_epi64(pa)
             + A1 * (int64_t)a[i - 2] + A2 * (int64_t)a[i - 3]
@@ -1084,6 +1097,31 @@ static void predict_pair_main(int32_t* __restrict a, int32_t* __restrict b,
                          + ((B0 * (int64_t)b[i - 1] + rb) >> sb));
     }
 }
+
+// Orders <= 4 need only half the register chain; plain C++ (also used
+// on non-AVX2 hosts).
+static void predict_pair_scalar4(int32_t* __restrict a,
+                                 int32_t* __restrict b,
+                                 uint32_t start, uint32_t n,
+                                 const int64_t* qsa, const int64_t* qsb,
+                                 uint32_t sa, uint32_t sb) {
+    const int64_t A0 = qsa[0], A1 = qsa[1], A2 = qsa[2], A3 = qsa[3];
+    const int64_t B0 = qsb[0], B1 = qsb[1], B2 = qsb[2], B3 = qsb[3];
+    int64_t pa1 = a[start - 1], pa2 = a[start - 2],
+            pa3 = a[start - 3], pa4 = a[start - 4];
+    int64_t pb1 = b[start - 1], pb2 = b[start - 2],
+            pb3 = b[start - 3], pb4 = b[start - 4];
+    for (uint32_t i = start; i < n; i++) {
+        int64_t va = (int64_t)a[i]
+            + ((A0 * pa1 + A1 * pa2 + A2 * pa3 + A3 * pa4) >> sa);
+        int64_t vb = (int64_t)b[i]
+            + ((B0 * pb1 + B1 * pb2 + B2 * pb3 + B3 * pb4) >> sb);
+        a[i] = (int32_t)va;
+        b[i] = (int32_t)vb;
+        pa4 = pa3; pa3 = pa2; pa2 = pa1; pa1 = va;
+        pb4 = pb3; pb3 = pb2; pb2 = pb1; pb1 = vb;
+    }
+}
 #endif  // FLACNAT_X86
 
 // Run both channels' predictors for a stereo frame decoded in raw mode,
@@ -1095,13 +1133,13 @@ static void predict_two(int32_t* c0, int32_t* c1, uint32_t n,
                         const int64_t* q1, uint32_t o1, uint32_t s1) {
 #ifdef FLACNAT_X86
     uint32_t omax = o0 > o1 ? o0 : o1;
-    if (cpu_has_avx2() && omax > 0) {
+    if ((cpu_has_avx2() || omax <= 4) && omax > 0) {
         int64_t qsa[40] = {0}, qsb[40] = {0};
         for (uint32_t j = 0; j < o0; j++) qsa[j] = q0[j];
         for (uint32_t j = 0; j < o1; j++) qsb[j] = q1[j];
         // vector taps cover j = 4 .. 4+4*NV-1
         uint32_t NV = omax <= 8 ? 1 : (omax - 4 + 3) / 4;
-        uint32_t PAD = 4 + 4 * NV;
+        uint32_t PAD = omax <= 4 ? 4 : 4 + 4 * NV;
         uint32_t head_end = PAD + 1 < n ? PAD + 1 : n;
         // scalar head up to the paired loop's history requirement
         for (uint32_t i = o0; o0 && i < head_end; i++) {
@@ -1117,6 +1155,10 @@ static void predict_two(int32_t* c0, int32_t* c1, uint32_t n,
             c1[i] = (int32_t)((int64_t)c1[i] + (acc >> s1));
         }
         if (n > head_end) {
+            if (omax <= 4) {
+                predict_pair_scalar4(c0, c1, head_end, n, qsa, qsb, s0, s1);
+                return;
+            }
             switch (NV) {
                 case 1: predict_pair_main<1>(c0, c1, head_end, n, qsa, qsb,
                                              o0, o1, s0, s1); break;

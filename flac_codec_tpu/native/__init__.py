@@ -83,6 +83,8 @@ class Native:
         lib.nat_decode_frames_mt.restype = ctypes.c_int64
         lib.nat_decode_frames_mt.argtypes = (
             list(lib.nat_decode_frames.argtypes) + [ctypes.c_uint32])
+        lib.nat_decode_frames_ilv.restype = ctypes.c_int64
+        lib.nat_decode_frames_ilv.argtypes = lib.nat_decode_frames.argtypes
         lib.nat_assemble_batch.restype = ctypes.c_int64
         lib.nat_assemble_batch.argtypes = [
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
@@ -366,14 +368,21 @@ class Native:
             # auto mode stays sequential on small hosts
             ncores = os.cpu_count() or 1
             nthreads = min(16, ncores) if ncores >= 4 else 1
-        n = self._lib.nat_decode_frames_mt(
+        args = (
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
             start_bitpos, n_frames, sample_rate, channels, bps, max_block,
             rem,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.byref(end),
-            err.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), nthreads)
+            err.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        if nthreads <= 1 and not os.environ.get("FLAC_TPU_NO_ILV"):
+            # single-core: the lockstep pump overlaps four frames' Rice
+            # dependency chains on one thread (same speculative scan and
+            # fallback semantics as the thread-pool path)
+            n = self._lib.nat_decode_frames_ilv(*args)
+        else:
+            n = self._lib.nat_decode_frames_mt(*args, nthreads)
         total = int(sizes[:n].sum()) * channels
         return out[:total], sizes[:n], int(end.value), int(err[0])
 

@@ -959,6 +959,102 @@ static inline uint32_t rice_bulk_k(const uint8_t* buf, uint64_t nbytes,
     }
 }
 
+// Four Rice partitions from four INDEPENDENT bit cursors decoded in
+// lockstep by one thread.  The single-cursor loop is bound by its
+// ~13-cycle per-symbol dependency chain (advance bitpos -> reload the
+// 64-bit window -> clz); four cursors give the out-of-order core four
+// overlapping chains (measured ~1.5x over four sequential passes).  Each
+// lane always reloads its window at the current bit position — one
+// unaligned 8-byte load per symbol — which keeps the loop body branch-
+// free except for a single expect-false guard per lane.  Returns when
+// ANY lane completes its m[] symbols or hits an over-long/EOF window;
+// ndone[] counts symbols decoded and flags[] marks lanes that need the
+// caller's checked re-entry path (over-long/EOF), exactly mirroring
+// rice_bulk's stop contract.  Codes longer than 57 bits always stop a
+// lane (window validity), like the single-cursor kernel.
+template <typename ST>
+static void rice_bulk_4w(const uint8_t* buf, uint64_t nbytes,
+                         uint64_t* bp, ST** out, const uint32_t* m,
+                         const uint32_t* k, uint32_t* ndone,
+                         uint8_t* flags) {
+    flags[0] = flags[1] = flags[2] = flags[3] = 0;
+    ndone[0] = ndone[1] = ndone[2] = ndone[3] = 0;
+    if (nbytes < 8) {
+        flags[0] = flags[1] = flags[2] = flags[3] = 1;
+        return;
+    }
+    const uint64_t limit = ((nbytes - 8) << 3) | 7;  // max valid load bitpos
+    uint64_t p0 = bp[0], p1 = bp[1], p2 = bp[2], p3 = bp[3];
+    if (p0 > limit || p1 > limit || p2 > limit || p3 > limit) {
+        flags[0] = p0 > limit; flags[1] = p1 > limit;
+        flags[2] = p2 > limit; flags[3] = p3 > limit;
+        return;
+    }
+    const uint32_t k0 = k[0], k1 = k[1], k2 = k[2], k3 = k[3];
+    const uint64_t M0 = ((uint64_t)1 << k0) - 1, M1 = ((uint64_t)1 << k1) - 1,
+                   M2 = ((uint64_t)1 << k2) - 1, M3 = ((uint64_t)1 << k3) - 1;
+    ST *o0 = out[0], *o1 = out[1], *o2 = out[2], *o3 = out[3];
+    const uint32_t m0 = m[0], m1 = m[1], m2 = m[2], m3 = m[3];
+    uint32_t i0 = 0, i1 = 0, i2 = 0, i3 = 0;
+    // Every lane runs to ITS OWN end (partition complete or over-long):
+    // exiting when the first lane finishes was measured to shrink rounds
+    // to min-of-four-phases (~13 symbols) and the per-round pump overhead
+    // ate the kernel's gain.  Structure: an unguarded lockstep loop over
+    // chunk = min(remaining) symbols (after the first pump round the four
+    // lanes start partitions together, so the chunk is nearly the whole
+    // partition), then a guarded loop for the stragglers.
+    uint32_t live = (uint32_t(m0 > 0)) | (uint32_t(m1 > 0) << 1)
+                  | (uint32_t(m2 > 0) << 2) | (uint32_t(m3 > 0) << 3);
+#define FLACNAT_4W_STEP(p, kq, Mq, oq, iq, mq, lane)                       \
+        {                                                                  \
+            uint64_t w;                                                    \
+            memcpy(&w, buf + (p >> 3), 8);                                 \
+            w = __builtin_bswap64(w) << (p & 7);                           \
+            uint32_t lz = (uint32_t)__builtin_clzll(w | 1);                \
+            uint32_t len = lz + 1 + kq;                                    \
+            uint64_t np = p + len;                                         \
+            if (__builtin_expect((len + (p & 7) > 64) | (np > limit), 0)) {\
+                flags[lane] = 1;                                           \
+                live &= ~(1u << lane);                                     \
+                break;                                                     \
+            }                                                              \
+            uint64_t u = ((uint64_t)lz << kq) | ((w >> (64 - len)) & Mq);  \
+            oq[iq] = (ST)((int64_t)(u >> 1) ^ -(int64_t)(u & 1));          \
+            iq++;                                                          \
+            p = np;                                                        \
+        }
+    while (live == 0xF) {
+        uint32_t chunk = m0 - i0;
+        if (m1 - i1 < chunk) chunk = m1 - i1;
+        if (m2 - i2 < chunk) chunk = m2 - i2;
+        if (m3 - i3 < chunk) chunk = m3 - i3;
+        if (!chunk) break;
+        for (uint32_t t = 0; t < chunk; t++) {
+            FLACNAT_4W_STEP(p0, k0, M0, o0, i0, m0, 0)
+            FLACNAT_4W_STEP(p1, k1, M1, o1, i1, m1, 1)
+            FLACNAT_4W_STEP(p2, k2, M2, o2, i2, m2, 2)
+            FLACNAT_4W_STEP(p3, k3, M3, o3, i3, m3, 3)
+        }
+        live &= ~((uint32_t(i0 >= m0)) | (uint32_t(i1 >= m1) << 1)
+                  | (uint32_t(i2 >= m2) << 2) | (uint32_t(i3 >= m3) << 3));
+    }
+#undef FLACNAT_4W_STEP
+    // stragglers: lanes still live after the lockstep phase finish on the
+    // single-cursor bulk loop (same stop contract)
+    uint64_t ps[4] = {p0, p1, p2, p3};
+    uint32_t is[4] = {i0, i1, i2, i3};
+    for (int s = 0; s < 4; s++) {
+        if ((live >> s) & 1 && is[s] < m[s]) {
+            uint32_t got = rice_bulk_k(buf, nbytes, ps[s], out[s] + is[s],
+                                       m[s] - is[s], k[s]);
+            is[s] += got;
+            if (is[s] < m[s]) flags[s] = 1;
+        }
+        bp[s] = ps[s];
+        ndone[s] = is[s];
+    }
+}
+
 // Order-specialized inverse predictor: x[i] += (sum q[j]*x[i-1-j]) >> shift
 // (reference: src/decode.rs:1738-1752).  The recent-history window rides a
 // register shift-chain so the loop-carried dependency is mul+add+shift, not
@@ -1204,78 +1300,169 @@ struct RawSubframe {
     uint32_t wasted = 0;
 };
 
+// step()/resume protocol code: a Rice partition is pending — the caller
+// runs a bulk kernel over [rice_out(), rice_remaining()) at the cursor's
+// bit position, then calls resume_rice(ndone, overlong) and step()s again.
+// Distinct from every DEC_* value.
+enum { SFM_NEED_RICE = -1 };
+
+// The subframe parser expressed as a resumable machine: all header /
+// warm-up / parameter / escape work happens inside step(), which yields
+// only at Rice partitions so that SEVERAL independent cursors can feed
+// one interleaved bulk kernel (the lockstep frame pump below).  The
+// classic sequential decode_subframe() is a thin driver over this, so
+// there is exactly one transcription of the subframe format
+// (reference: src/stream.rs:2390-2550, src/decode.rs:1630-1760).
 template <typename ST>
-static int decode_subframe(FastBits& g, uint32_t bps, uint32_t n, ST* ch,
-                           RawSubframe* raw = nullptr) {
-    if (!g.fits(8)) return DEC_EOF;
-    if (g.get(1) != 0) return DEC_SUBHDR;
-    uint32_t code = g.get(6);
-    uint32_t wasted = 0;
-    if (g.get(1)) {
-        wasted = g.get_unary() + 1;
-        if (!g.fits(1)) return DEC_EOF;
-    }
-    if (wasted >= bps) return DEC_SUBHDR;
-    uint32_t eff = bps - wasted;
+struct SubframeMachine {
+    FastBits* gp;
+    ST* ch;
+    RawSubframe* raw;
+    uint32_t bps, n;
+    int64_t q[32];
+    uint32_t order, qorder, shift, wasted;
+    bool has_res;
+    uint32_t rb, escape, count, part_len, p0, pos, part;
+    uint32_t rice_k, rice_m, rice_i;
+    bool rice_overlong;  // last bulk stop needs the checked re-entry path
+    int phase;           // 0 = header pending, 1 = partitions, 2 = in-rice
 
-    uint32_t order;
-    if (code == 0) {                       // constant
-        if (!g.fits(eff)) return DEC_EOF;
-        ST v = (ST)g.get_signed(eff);
-        for (uint32_t i = 0; i < n; i++) ch[i] = v;
-        order = 0xFFFF;                    // no residuals
-    } else if (code == 1) {                // verbatim
-        if (!g.fits((uint64_t)eff * n)) return DEC_EOF;
-        for (uint32_t i = 0; i < n; i++) ch[i] = (ST)g.get_signed(eff);
-        order = 0xFFFF;
-    } else if (code >= 8 && code <= 12) {
-        order = code - 8;
-    } else if (code >= 32) {
-        order = (code & 31) + 1;
-    } else {
-        return DEC_SUBHDR;
+    void init(FastBits* g_, uint32_t bps_, uint32_t n_, ST* ch_,
+              RawSubframe* raw_) {
+        gp = g_; bps = bps_; n = n_; ch = ch_; raw = raw_;
+        phase = 0;
+    }
+    inline ST* rice_out() { return ch + pos + rice_i; }
+    inline uint32_t rice_remaining() const { return rice_m - rice_i; }
+    inline void resume_rice(uint32_t got, bool overlong) {
+        rice_i += got;
+        rice_overlong = overlong;
     }
 
-    if (order != 0xFFFF) {
-        if (order > n) return DEC_SUBHDR;
-        if (!g.fits((uint64_t)eff * order)) return DEC_EOF;
-        for (uint32_t i = 0; i < order; i++) ch[i] = (ST)g.get_signed(eff);
-
-        int64_t q[32];
-        uint32_t qorder = order, shift = 0;
-        if (code >= 32) {                  // LPC params
-            if (!g.fits(9)) return DEC_EOF;
-            uint32_t pcode = g.get(4);
-            if (pcode == 0xF) return DEC_PARAMS;
-            uint32_t precision = pcode + 1;
-            int64_t sh = g.get_signed(5);
-            if (sh < 0) return DEC_PARAMS;
-            shift = (uint32_t)sh;
-            if (!g.fits((uint64_t)precision * order)) return DEC_EOF;
-            for (uint32_t i = 0; i < order; i++)
-                q[i] = g.get_signed(precision);
-        } else {
-            for (uint32_t i = 0; i < 4; i++) q[i] = FIXED_Q[order][i];
-            qorder = order;  // fixed: q rows are zero-padded to 4 taps
+    int finish() {
+        if (has_res) {
+            if (raw) {
+                raw->order = qorder;
+                raw->shift = shift;
+                for (uint32_t j = 0; j < qorder && j < 32; j++)
+                    raw->q[j] = q[j];
+            } else {
+                predict_any(ch, n, q, qorder, shift);
+            }
         }
+        if (raw) {
+            raw->wasted = wasted;
+        } else if (wasted) {
+            typedef typename std::make_unsigned<ST>::type UST;
+            for (uint32_t i = 0; i < n; i++)
+                ch[i] = (ST)((UST)ch[i] << wasted);
+        }
+        return DEC_OK;
+    }
 
-        // residuals
-        if (!g.fits(6)) return DEC_EOF;
-        uint32_t method = g.get(2);
-        if (method > 1) return DEC_RESID;
-        uint32_t rb = method == 0 ? 4 : 5;
-        uint32_t escape = (1u << rb) - 1;
-        uint32_t po = g.get(4);
-        uint32_t count = 1u << po;
-        uint32_t part_len = n / count;
-        if (part_len == 0) return DEC_RESID;
-        uint32_t n_res = n - order;
-        uint32_t p0 = (int64_t)n_res - (int64_t)(count - 1) * part_len;
-        if ((int64_t)n_res - (int64_t)(count - 1) * part_len < 1 || p0 > part_len)
-            return DEC_RESID;
-        uint32_t pos = order;
-        for (uint32_t p = 0; p < count; p++) {
-            uint32_t m = p == 0 ? p0 : part_len;
+    int step() {
+        FastBits& g = *gp;
+        if (phase == 0) {
+            // --- subframe header, warm-up, predictor params (no yields) ---
+            if (!g.fits(8)) return DEC_EOF;
+            if (g.get(1) != 0) return DEC_SUBHDR;
+            uint32_t code = g.get(6);
+            wasted = 0;
+            if (g.get(1)) {
+                wasted = g.get_unary() + 1;
+                if (!g.fits(1)) return DEC_EOF;
+            }
+            if (wasted >= bps) return DEC_SUBHDR;
+            uint32_t eff = bps - wasted;
+
+            if (code == 0) {                   // constant
+                if (!g.fits(eff)) return DEC_EOF;
+                ST v = (ST)g.get_signed(eff);
+                for (uint32_t i = 0; i < n; i++) ch[i] = v;
+                has_res = false;
+                return finish();
+            } else if (code == 1) {            // verbatim
+                if (!g.fits((uint64_t)eff * n)) return DEC_EOF;
+                for (uint32_t i = 0; i < n; i++) ch[i] = (ST)g.get_signed(eff);
+                has_res = false;
+                return finish();
+            } else if (code >= 8 && code <= 12) {
+                order = code - 8;
+            } else if (code >= 32) {
+                order = (code & 31) + 1;
+            } else {
+                return DEC_SUBHDR;
+            }
+            has_res = true;
+
+            if (order > n) return DEC_SUBHDR;
+            if (!g.fits((uint64_t)eff * order)) return DEC_EOF;
+            for (uint32_t i = 0; i < order; i++) ch[i] = (ST)g.get_signed(eff);
+
+            qorder = order;
+            shift = 0;
+            if (code >= 32) {                  // LPC params
+                if (!g.fits(9)) return DEC_EOF;
+                uint32_t pcode = g.get(4);
+                if (pcode == 0xF) return DEC_PARAMS;
+                uint32_t precision = pcode + 1;
+                int64_t sh = g.get_signed(5);
+                if (sh < 0) return DEC_PARAMS;
+                shift = (uint32_t)sh;
+                if (!g.fits((uint64_t)precision * order)) return DEC_EOF;
+                for (uint32_t i = 0; i < order; i++)
+                    q[i] = g.get_signed(precision);
+            } else {
+                for (uint32_t i = 0; i < 4; i++) q[i] = FIXED_Q[order][i];
+            }
+
+            // residual partition header
+            if (!g.fits(6)) return DEC_EOF;
+            uint32_t method = g.get(2);
+            if (method > 1) return DEC_RESID;
+            rb = method == 0 ? 4 : 5;
+            escape = (1u << rb) - 1;
+            uint32_t po = g.get(4);
+            count = 1u << po;
+            part_len = n / count;
+            if (part_len == 0) return DEC_RESID;
+            uint32_t n_res = n - order;
+            p0 = (uint32_t)((int64_t)n_res - (int64_t)(count - 1) * part_len);
+            if ((int64_t)n_res - (int64_t)(count - 1) * part_len < 1
+                || p0 > part_len)
+                return DEC_RESID;
+            pos = order;
+            part = 0;
+            phase = 1;
+        }
+        for (;;) {
+            if (phase == 2) {
+                // back from a bulk pass over the active Rice partition
+                if (rice_i < rice_m) {
+                    if (!rice_overlong)     // lockstep chunk ended early:
+                        return SFM_NEED_RICE;  // plain bulk re-entry
+                    // over-long code (unary run past the 64-bit window):
+                    // ONE checked symbol, then immediate bulk re-entry,
+                    // so a pathological code only costs itself
+                    uint64_t before = g.pos();
+                    uint32_t qq = g.get_unary();
+                    // terminating 1 consumed iff pos advanced qq+1
+                    if (g.pos() != before + qq + 1) return DEC_EOF;
+                    if (!g.fits(rice_k)) return DEC_EOF;
+                    uint32_t lsb = rice_k ? g.get(rice_k) : 0;
+                    uint64_t u64 = ((uint64_t)qq << rice_k) | lsb;
+                    ch[pos + rice_i] =
+                        (ST)((u64 & 1) ? -((int64_t)(u64 >> 1)) - 1
+                                       : (int64_t)(u64 >> 1));
+                    rice_i++;
+                    if (rice_i < rice_m) return SFM_NEED_RICE;
+                }
+                pos += rice_m;
+                part++;
+                phase = 1;
+            }
+            if (part >= count) return finish();
+            uint32_t m = part == 0 ? p0 : part_len;
             if (!g.fits(rb)) return DEC_EOF;
             uint32_t param = g.get(rb);
             if (param == escape) {
@@ -1288,51 +1475,35 @@ static int decode_subframe(FastBits& g, uint32_t bps, uint32_t n, ST* ch,
                     for (uint32_t i = 0; i < m; i++)
                         ch[pos + i] = (ST)g.get_signed(width);
                 }
+                pos += m;
+                part++;
             } else {
-                // fast bulk decode, with ONE checked symbol per bulk stop
-                // and immediate bulk re-entry: an over-long code (unary
-                // run past the 64-bit window) only costs itself, instead
-                // of demoting the whole partition remainder to the
-                // checked path (step-function audio hits this often)
-                uint32_t i = 0;
-                while (i < m) {
-                    uint64_t bitpos = g.pos();
-                    i += rice_bulk_k(g.buf, g.nbytes, bitpos,
-                                     ch + pos + i, m - i, param);
-                    g.set_pos(bitpos);
-                    if (i >= m) break;
-                    uint64_t before = g.pos();
-                    uint32_t qq = g.get_unary();
-                    // terminating 1 consumed iff pos advanced qq+1
-                    if (g.pos() != before + qq + 1) return DEC_EOF;
-                    if (!g.fits(param)) return DEC_EOF;
-                    uint32_t lsb = param ? g.get(param) : 0;
-                    uint64_t u64 = ((uint64_t)qq << param) | lsb;
-                    ch[pos + i] = (ST)((u64 & 1) ? -((int64_t)(u64 >> 1)) - 1
-                                                   : (int64_t)(u64 >> 1));
-                    i++;
-                }
+                rice_k = param;
+                rice_m = m;
+                rice_i = 0;
+                rice_overlong = false;
+                phase = 2;
+                return SFM_NEED_RICE;
             }
-            pos += m;
-        }
-
-        if (raw) {
-            raw->order = qorder;
-            raw->shift = shift;
-            for (uint32_t j = 0; j < qorder && j < 32; j++) raw->q[j] = q[j];
-        } else {
-            predict_any(ch, n, q, qorder, shift);
         }
     }
+};
 
-    if (raw) {
-        raw->wasted = wasted;
-    } else if (wasted) {
-        typedef typename std::make_unsigned<ST>::type UST;
-        for (uint32_t i = 0; i < n; i++)
-            ch[i] = (ST)((UST)ch[i] << wasted);
+template <typename ST>
+static int decode_subframe(FastBits& g, uint32_t bps, uint32_t n, ST* ch,
+                           RawSubframe* raw = nullptr) {
+    SubframeMachine<ST> sm;
+    sm.init(&g, bps, n, ch, raw);
+    for (;;) {
+        int r = sm.step();
+        if (r != SFM_NEED_RICE) return r;
+        uint64_t bitpos = g.pos();
+        uint32_t got = rice_bulk_k(g.buf, g.nbytes, bitpos, sm.rice_out(),
+                                   sm.rice_remaining(), sm.rice_k);
+        g.set_pos(bitpos);
+        // rice_bulk stops only on completion or an over-long/EOF window
+        sm.resume_rice(got, true);
     }
-    return DEC_OK;
 }
 
 struct FrameHdr {
@@ -1405,31 +1576,16 @@ static int parse_frame_header(FastBits& g, const uint8_t* buf,
     return DEC_OK;
 }
 
-// Subframes + CRC-16 + inverse decorrelation + interleave for one frame.
-// ST = int32 covers bps <= 24 (mid/side headroom included); the int64
-// instantiation handles the wide paths (reference wide-side handling:
-// src/decode.rs:1586-1625).
+// Frame epilogue once every subframe is parsed: byte alignment, CRC-16
+// gate, the deferred stereo prediction + wasted-bit shifts, and the
+// inverse decorrelation fused with the interleave.  Shared by the
+// sequential decoder (decode_frame_body) and the lockstep frame pump.
 template <typename ST>
-static int decode_frame_body(FastBits& g, const uint8_t* buf,
+static int finish_frame_body(FastBits& g, const uint8_t* buf,
                              uint64_t frame_start_byte, uint32_t block_size,
-                             uint32_t fbps, uint32_t ch_count, uint32_t ca,
+                             uint32_t ch_count, uint32_t ca, ST* chdata,
+                             bool defer2, RawSubframe* raw2,
                              int32_t* out_ptr) {
-    static thread_local std::vector<ST> chbuf;
-    if (chbuf.size() < (size_t)ch_count * block_size)
-        chbuf.resize((size_t)ch_count * block_size);
-    int rc = DEC_OK;
-    RawSubframe raw2[2];
-    bool defer2 = ch_count == 2;  // stereo: defer predict to the paired path
-    for (uint32_t c = 0; c < ch_count && rc == DEC_OK; c++) {
-        uint32_t sub_bps = fbps;
-        if ((ca == 8 && c == 1) || (ca == 9 && c == 0) || (ca == 10 && c == 1))
-            sub_bps += 1;
-        rc = decode_subframe(g, sub_bps, block_size,
-                             chbuf.data() + (size_t)c * block_size,
-                             defer2 ? &raw2[c] : nullptr);
-    }
-    if (rc != DEC_OK) return rc;
-
     g.align();
     {
         uint64_t crc_byte = g.pos() >> 3;
@@ -1442,8 +1598,8 @@ static int decode_frame_body(FastBits& g, const uint8_t* buf,
 
     if (defer2) {
         // paired prediction after the CRC gate (skips work on bad frames)
-        ST* p0 = chbuf.data();
-        ST* p1 = chbuf.data() + block_size;
+        ST* p0 = chdata;
+        ST* p1 = chdata + block_size;
         predict_two(p0, p1, block_size,
                     raw2[0].q, raw2[0].order, raw2[0].shift,
                     raw2[1].q, raw2[1].order, raw2[1].shift);
@@ -1458,8 +1614,8 @@ static int decode_frame_body(FastBits& g, const uint8_t* buf,
 
     // inverse decorrelation fused with the interleave into one pass
     // (reference decorrelation: src/decode.rs:1512-1625)
-    ST* __restrict c0 = chbuf.data();
-    ST* __restrict c1 = chbuf.data() + block_size;
+    ST* __restrict c0 = chdata;
+    ST* __restrict c1 = chdata + block_size;
     if (ca == 8) {          // left-side
         for (uint32_t i = 0; i < block_size; i++) {
             out_ptr[2 * i] = (int32_t)c0[i];
@@ -1485,9 +1641,232 @@ static int decode_frame_body(FastBits& g, const uint8_t* buf,
     } else {
         for (uint32_t i = 0; i < block_size; i++)
             for (uint32_t c = 0; c < ch_count; c++)
-                *out_ptr++ = (int32_t)chbuf[(size_t)c * block_size + i];
+                *out_ptr++ = (int32_t)chdata[(size_t)c * block_size + i];
     }
     return DEC_OK;
+}
+
+// Subframes + CRC-16 + inverse decorrelation + interleave for one frame.
+// ST = int32 covers bps <= 24 (mid/side headroom included); the int64
+// instantiation handles the wide paths (reference wide-side handling:
+// src/decode.rs:1586-1625).
+template <typename ST>
+static int decode_frame_body(FastBits& g, const uint8_t* buf,
+                             uint64_t frame_start_byte, uint32_t block_size,
+                             uint32_t fbps, uint32_t ch_count, uint32_t ca,
+                             int32_t* out_ptr) {
+    static thread_local std::vector<ST> chbuf;
+    if (chbuf.size() < (size_t)ch_count * block_size)
+        chbuf.resize((size_t)ch_count * block_size);
+    int rc = DEC_OK;
+    RawSubframe raw2[2];
+    bool defer2 = ch_count == 2;  // stereo: defer predict to the paired path
+    for (uint32_t c = 0; c < ch_count && rc == DEC_OK; c++) {
+        uint32_t sub_bps = fbps;
+        if ((ca == 8 && c == 1) || (ca == 9 && c == 0) || (ca == 10 && c == 1))
+            sub_bps += 1;
+        rc = decode_subframe(g, sub_bps, block_size,
+                             chbuf.data() + (size_t)c * block_size,
+                             defer2 ? &raw2[c] : nullptr);
+    }
+    if (rc != DEC_OK) return rc;
+    return finish_frame_body<ST>(g, buf, frame_start_byte, block_size,
+                                 ch_count, ca, chbuf.data(), defer2, raw2,
+                                 out_ptr);
+}
+
+// A whole frame as a resumable machine (header + per-channel subframe
+// machines + epilogue), yielding at Rice partitions: four of these feed
+// the interleaved bulk kernel in the lockstep pump.
+template <typename ST>
+struct FrameMachine {
+    FastBits g;
+    const uint8_t* buf;
+    uint64_t buf_bytes, frame_start_byte;
+    FrameHdr hdr;
+    ST* chbuf;
+    int32_t* out_ptr;
+    RawSubframe raw2[2];
+    bool defer2;
+    uint32_t c;
+    SubframeMachine<ST> sf;
+    bool sf_active;
+
+    // Returns SFM_NEED_RICE, DEC_OK (frame complete, g at its end), or a
+    // DEC_* error.  The streaminfo cross-checks mirror nat_decode_frames.
+    int start(const uint8_t* b, uint64_t nb, uint64_t pos_byte,
+              uint32_t sample_rate, uint32_t bps, uint32_t channels,
+              uint32_t max_block, ST* chb, int32_t* dst) {
+        buf = b; buf_bytes = nb; frame_start_byte = pos_byte;
+        chbuf = chb; out_ptr = dst; c = 0; sf_active = false;
+        g.init(b, nb, pos_byte * 8);
+        int hrc = parse_frame_header(g, buf, pos_byte, sample_rate, bps,
+                                     &hdr);
+        if (hrc != DEC_OK) return hrc;
+        if (hdr.block_size > max_block || hdr.rate != sample_rate
+            || hdr.ch_count != channels || hdr.bps != bps) return DEC_HDR;
+        defer2 = hdr.ch_count == 2;
+        raw2[0] = RawSubframe();
+        raw2[1] = RawSubframe();
+        return step();
+    }
+    int step() {
+        for (;;) {
+            if (!sf_active) {
+                if (c >= hdr.ch_count)
+                    return finish_frame_body<ST>(
+                        g, buf, frame_start_byte, hdr.block_size,
+                        hdr.ch_count, hdr.ca, chbuf, defer2, raw2, out_ptr);
+                uint32_t sub_bps = hdr.bps;
+                if ((hdr.ca == 8 && c == 1) || (hdr.ca == 9 && c == 0)
+                    || (hdr.ca == 10 && c == 1))
+                    sub_bps += 1;
+                sf.init(&g, sub_bps, hdr.block_size,
+                        chbuf + (size_t)c * hdr.block_size,
+                        defer2 ? &raw2[c] : nullptr);
+                sf_active = true;
+            }
+            int r = sf.step();
+            if (r == SFM_NEED_RICE) return r;
+            if (r != DEC_OK) return r;
+            sf_active = false;
+            c++;
+        }
+    }
+};
+
+// A speculative frame-start candidate: every byte position that parses as
+// a valid frame header (15-bit sync + field validation + streaminfo
+// cross-check + CRC-8).  Every true frame start qualifies; a false
+// positive needs a ~2^-30 coincidence, and both speculative decoders
+// (the thread pool and the lockstep pump) verify that decoded frames
+// tile the candidate list exactly, falling back to the sequential path
+// otherwise.
+struct Cand { uint64_t pos; uint32_t block; };
+
+static void scan_frame_candidates(const uint8_t* buf, uint64_t buf_bytes,
+                                  uint64_t start_byte, uint32_t n_frames,
+                                  uint32_t sample_rate, uint32_t channels,
+                                  uint32_t bps, uint32_t max_block,
+                                  std::vector<Cand>& cands) {
+    cands.reserve((buf_bytes - start_byte) / 1024 + 16);
+    const uint8_t* p = buf + start_byte;
+    if (buf_bytes < 16) return;
+    const uint8_t* const end = buf + buf_bytes - 16;
+    while (p <= end && cands.size() < n_frames) {
+        p = (const uint8_t*)memchr(p, 0xFF, end - p + 1);
+        if (!p) break;
+        if ((p[1] & 0xFE) == 0xF8) {
+            FastBits g;
+            g.init(buf, buf_bytes, (uint64_t)(p - buf) * 8);
+            FrameHdr hdr;
+            if (parse_frame_header(g, buf, p - buf, sample_rate, bps,
+                                   &hdr) == DEC_OK
+                && hdr.block_size <= max_block
+                && hdr.rate == sample_rate && hdr.ch_count == channels
+                && hdr.bps == bps)
+                cands.push_back({(uint64_t)(p - buf), hdr.block_size});
+        }
+        p++;
+    }
+}
+
+// The lockstep frame pump: up to four frames (from the candidate scan)
+// decode concurrently ON ONE THREAD, their pending Rice partitions fed
+// to the interleaved 4-way kernel.  Writes are disjoint (per-candidate
+// sample offsets); every completed frame must end exactly at the next
+// candidate and passes its own CRC-16, so acceptance implies the
+// sequential path would have produced the same bytes.  Returns the
+// candidate count on success or -1 (caller reruns the exact sequential
+// decoder — identical error surface, the pump only ever accepts).
+template <typename ST>
+static int64_t pump_decode(const uint8_t* buf, uint64_t buf_bytes,
+                           const std::vector<Cand>& cands,
+                           const std::vector<uint64_t>& sample_off,
+                           uint32_t sample_rate, uint32_t channels,
+                           uint32_t bps, uint32_t max_block,
+                           int32_t* out, uint32_t* block_sizes,
+                           uint64_t* last_end_byte) {
+    constexpr int W = 4;
+    size_t cap = (size_t)channels * max_block;
+    static thread_local std::vector<ST> chbufs;
+    if (chbufs.size() < cap * W) chbufs.resize(cap * W);
+    FrameMachine<ST> fm[W];
+    size_t idx[W];
+    bool active[W] = {false, false, false, false};
+    size_t next = 0;
+
+    auto retire = [&](int s) -> bool {
+        uint64_t endb = fm[s].g.pos() >> 3;
+        size_t j = idx[s];
+        if (j + 1 < cands.size()) {
+            // the decoded frame must end exactly at the next candidate:
+            // a false sync inside frame data fails here -> fallback
+            if (endb != cands[j + 1].pos) return false;
+        } else {
+            *last_end_byte = endb;
+        }
+        block_sizes[j] = cands[j].block;
+        return true;
+    };
+    auto feed = [&](int s) -> bool {  // false -> abort the pump
+        active[s] = false;
+        while (next < cands.size()) {
+            size_t j = next++;
+            idx[s] = j;
+            int r = fm[s].start(buf, buf_bytes, cands[j].pos, sample_rate,
+                                bps, channels, max_block,
+                                chbufs.data() + cap * s,
+                                out + sample_off[j] * channels);
+            if (r == SFM_NEED_RICE) { active[s] = true; return true; }
+            if (r == DEC_OK && retire(s)) continue;  // no-Rice frame
+            return false;
+        }
+        return true;
+    };
+    for (int s = 0; s < W; s++)
+        if (!feed(s)) return -1;
+    for (;;) {
+        int nact = active[0] + active[1] + active[2] + active[3];
+        if (nact == 0) break;
+        if (nact == W) {
+            uint64_t bp[W]; ST* op[W]; uint32_t m[W], kk[W], nd[W];
+            uint8_t fl[W];
+            for (int s = 0; s < W; s++) {
+                bp[s] = fm[s].g.pos();
+                op[s] = fm[s].sf.rice_out();
+                m[s] = fm[s].sf.rice_remaining();
+                kk[s] = fm[s].sf.rice_k;
+            }
+            rice_bulk_4w<ST>(buf, buf_bytes, bp, op, m, kk, nd, fl);
+            for (int s = 0; s < W; s++) {
+                fm[s].g.set_pos(bp[s]);
+                fm[s].sf.resume_rice(nd[s], fl[s] != 0);
+            }
+        } else {
+            // stream tail: fewer than four pending partitions
+            for (int s = 0; s < W; s++) {
+                if (!active[s]) continue;
+                uint64_t bitpos = fm[s].g.pos();
+                uint32_t got = rice_bulk_k(
+                    buf, buf_bytes, bitpos, fm[s].sf.rice_out(),
+                    fm[s].sf.rice_remaining(), fm[s].sf.rice_k);
+                fm[s].g.set_pos(bitpos);
+                fm[s].sf.resume_rice(got, true);
+            }
+        }
+        for (int s = 0; s < W; s++) {
+            if (!active[s]) continue;
+            int r = fm[s].step();
+            if (r == SFM_NEED_RICE) continue;
+            if (r == DEC_OK && retire(s)) {
+                if (!feed(s)) return -1;
+            } else {
+                return -1;
+            }
+        }
+    }
+    return (int64_t)cands.size();
 }
 
 }  // namespace
@@ -1590,29 +1969,9 @@ int64_t nat_decode_frames_mt(
                                  end_bitpos, error);
 
     // --- phase A: candidate scan (serial, memchr-driven) ---
-    struct Cand { uint64_t pos; uint32_t block; };
     std::vector<Cand> cands;
-    cands.reserve((buf_bytes - start_byte) / 1024 + 16);
-    {
-        const uint8_t* p = buf + start_byte;
-        const uint8_t* const end = buf + buf_bytes - 16;
-        while (p <= end && cands.size() < n_frames) {
-            p = (const uint8_t*)memchr(p, 0xFF, end - p + 1);
-            if (!p) break;
-            if ((p[1] & 0xFE) == 0xF8) {
-                FastBits g;
-                g.init(buf, buf_bytes, (uint64_t)(p - buf) * 8);
-                FrameHdr hdr;
-                if (parse_frame_header(g, buf, p - buf, sample_rate, bps,
-                                       &hdr) == DEC_OK
-                    && hdr.block_size <= max_block
-                    && hdr.rate == sample_rate && hdr.ch_count == channels
-                    && hdr.bps == bps)
-                    cands.push_back({(uint64_t)(p - buf), hdr.block_size});
-            }
-            p++;
-        }
-    }
+    scan_frame_candidates(buf, buf_bytes, start_byte, n_frames, sample_rate,
+                          channels, bps, max_block, cands);
     bool fallback = cands.empty() || cands[0].pos != start_byte;
 
     uint64_t total_span_samples = 0;
@@ -1734,6 +2093,93 @@ int64_t nat_decode_frames_mt(
         // fall through to the exact sequential path
     }
 
+    return nat_decode_frames(buf, buf_bytes, start_bitpos, n_frames,
+                             sample_rate, channels, bps, max_block,
+                             remaining_samples, out, block_sizes,
+                             end_bitpos, error);
+}
+
+// Single-thread interleaved decode: the candidate scan breaks the frame
+// chain speculatively (exactly like nat_decode_frames_mt), but instead of
+// a thread pool, up to four frames decode in lockstep on THIS thread,
+// their Rice partitions interleaved through rice_bulk_4w so the
+// out-of-order core overlaps four per-symbol dependency chains.  Any
+// screen failure, decode error, or tiling mismatch falls back to the
+// exact sequential path, so semantics are identical to
+// nat_decode_frames.  This recovers most of the Rice decode's chain
+// stalls without needing a second core.
+int64_t nat_decode_frames_ilv(
+    const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
+    uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,
+    uint32_t max_block, uint64_t remaining_samples,
+    int32_t* out, uint32_t* block_sizes, uint64_t* end_bitpos,
+    uint32_t* error) {
+    if (!tables_ready) init_tables();
+    uint64_t start_byte = start_bitpos >> 3;
+    if ((start_bitpos & 7) || buf_bytes < (1u << 14)
+        || buf_bytes - start_byte < (1u << 14))
+        return nat_decode_frames(buf, buf_bytes, start_bitpos, n_frames,
+                                 sample_rate, channels, bps, max_block,
+                                 remaining_samples, out, block_sizes,
+                                 end_bitpos, error);
+
+    std::vector<Cand> cands;
+    scan_frame_candidates(buf, buf_bytes, start_byte, n_frames, sample_rate,
+                          channels, bps, max_block, cands);
+    bool fallback = cands.size() < 2 || cands[0].pos != start_byte;
+
+    uint64_t total_span_samples = 0;
+    std::vector<uint64_t> sample_off;
+    if (!fallback) {
+        // short-block / remaining-samples rules need the sequential
+        // path's exact error surface; screen cheaply, fall back on any hit
+        sample_off.resize(cands.size());
+        for (size_t j = 0; j < cands.size(); j++) {
+            sample_off[j] = total_span_samples;
+            total_span_samples += cands[j].block;
+            if (cands[j].block <= 14 && j + 1 < cands.size()) fallback = true;
+        }
+        if (remaining_samples != ~0ull) {
+            if (total_span_samples > remaining_samples) fallback = true;
+            if (!cands.empty() && cands.back().block <= 14
+                && total_span_samples != remaining_samples)
+                fallback = true;
+        }
+    }
+
+    if (!fallback) {
+        uint64_t last_end = 0;
+        int64_t got = bps <= 24
+            ? pump_decode<int32_t>(buf, buf_bytes, cands, sample_off,
+                                   sample_rate, channels, bps, max_block,
+                                   out, block_sizes, &last_end)
+            : pump_decode<int64_t>(buf, buf_bytes, cands, sample_off,
+                                   sample_rate, channels, bps, max_block,
+                                   out, block_sizes, &last_end);
+        if (got >= 0) {
+            uint64_t tail_rem = remaining_samples == ~0ull
+                ? ~0ull : remaining_samples - total_span_samples;
+            uint32_t tail_frames = n_frames - (uint32_t)cands.size();
+            if (tail_frames == 0) {
+                *error = DEC_OK;
+                *end_bitpos = last_end * 8;
+                return (int64_t)cands.size();
+            }
+            // trailing bytes / remaining-samples bookkeeping: run the
+            // sequential path from the verified end so sync garbage vs
+            // clean EOF is classified exactly like nat_decode_frames
+            int32_t* dst = out + total_span_samples * channels;
+            uint64_t tail_end = 0;
+            uint32_t tail_err = DEC_OK;
+            int64_t extra = nat_decode_frames(
+                buf, buf_bytes, last_end * 8, tail_frames,
+                sample_rate, channels, bps, max_block, tail_rem,
+                dst, block_sizes + cands.size(), &tail_end, &tail_err);
+            *end_bitpos = tail_end;
+            *error = tail_err;
+            return (int64_t)cands.size() + extra;
+        }
+    }
     return nat_decode_frames(buf, buf_bytes, start_bitpos, n_frames,
                              sample_rate, channels, bps, max_block,
                              remaining_samples, out, block_sizes,

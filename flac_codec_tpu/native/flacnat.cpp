@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <cstdlib>
 #include <cstring>
 
 #if (defined(__x86_64__) || defined(__i386__)) && defined(__GNUC__)
@@ -1677,7 +1678,10 @@ static int decode_frame_body(FastBits& g, const uint8_t* buf,
 
 // A whole frame as a resumable machine (header + per-channel subframe
 // machines + epilogue), yielding at Rice partitions: four of these feed
-// the interleaved bulk kernel in the lockstep pump.
+// the interleaved bulk kernel in the lockstep pump.  In raw mode the
+// machine skips prediction/decorrelation and only validates the CRC-16 —
+// the channel buffers then hold warm-ups + residuals and raws[] the
+// predictor parameters (the device decode pipeline's feed format).
 template <typename ST>
 struct FrameMachine {
     FastBits g;
@@ -1685,9 +1689,10 @@ struct FrameMachine {
     uint64_t buf_bytes, frame_start_byte;
     FrameHdr hdr;
     ST* chbuf;
+    size_t ch_stride;
     int32_t* out_ptr;
-    RawSubframe raw2[2];
-    bool defer2;
+    RawSubframe raws[8];
+    bool defer2, raw_mode;
     uint32_t c;
     SubframeMachine<ST> sf;
     bool sf_active;
@@ -1696,34 +1701,53 @@ struct FrameMachine {
     // DEC_* error.  The streaminfo cross-checks mirror nat_decode_frames.
     int start(const uint8_t* b, uint64_t nb, uint64_t pos_byte,
               uint32_t sample_rate, uint32_t bps, uint32_t channels,
-              uint32_t max_block, ST* chb, int32_t* dst) {
+              uint32_t max_block, ST* chb, size_t stride, int32_t* dst,
+              bool raw) {
         buf = b; buf_bytes = nb; frame_start_byte = pos_byte;
-        chbuf = chb; out_ptr = dst; c = 0; sf_active = false;
+        chbuf = chb; out_ptr = dst;
+        raw_mode = raw; c = 0; sf_active = false;
         g.init(b, nb, pos_byte * 8);
         int hrc = parse_frame_header(g, buf, pos_byte, sample_rate, bps,
                                      &hdr);
         if (hrc != DEC_OK) return hrc;
         if (hdr.block_size > max_block || hdr.rate != sample_rate
             || hdr.ch_count != channels || hdr.bps != bps) return DEC_HDR;
-        defer2 = hdr.ch_count == 2;
-        raw2[0] = RawSubframe();
-        raw2[1] = RawSubframe();
+        // stride 0 = pack channels at the frame's own block size (the
+        // decode epilogue assumes that layout); raw mode passes the
+        // device panel row stride explicitly
+        ch_stride = stride ? stride : hdr.block_size;
+        defer2 = !raw_mode && hdr.ch_count == 2;
+        for (uint32_t j = 0; j < hdr.ch_count && j < 8; j++)
+            raws[j] = RawSubframe();
         return step();
     }
     int step() {
         for (;;) {
             if (!sf_active) {
-                if (c >= hdr.ch_count)
-                    return finish_frame_body<ST>(
-                        g, buf, frame_start_byte, hdr.block_size,
-                        hdr.ch_count, hdr.ca, chbuf, defer2, raw2, out_ptr);
+                if (c >= hdr.ch_count) {
+                    if (!raw_mode)
+                        return finish_frame_body<ST>(
+                            g, buf, frame_start_byte, hdr.block_size,
+                            hdr.ch_count, hdr.ca, chbuf, defer2, raws,
+                            out_ptr);
+                    // raw mode: CRC-16 gate only
+                    g.align();
+                    uint64_t crc_byte = g.pos() >> 3;
+                    if (!g.fits(16)) return DEC_EOF;
+                    uint32_t expected = g.get(16);
+                    if (nat_crc16(buf + frame_start_byte,
+                                  crc_byte - frame_start_byte, 0)
+                        != expected)
+                        return DEC_CRC16;
+                    return DEC_OK;
+                }
                 uint32_t sub_bps = hdr.bps;
                 if ((hdr.ca == 8 && c == 1) || (hdr.ca == 9 && c == 0)
                     || (hdr.ca == 10 && c == 1))
                     sub_bps += 1;
                 sf.init(&g, sub_bps, hdr.block_size,
-                        chbuf + (size_t)c * hdr.block_size,
-                        defer2 ? &raw2[c] : nullptr);
+                        chbuf + (size_t)c * ch_stride,
+                        (raw_mode || defer2) ? &raws[c] : nullptr);
                 sf_active = true;
             }
             int r = sf.step();
@@ -1768,6 +1792,53 @@ static void scan_frame_candidates(const uint8_t* buf, uint64_t buf_bytes,
                 cands.push_back({(uint64_t)(p - buf), hdr.block_size});
         }
         p++;
+    }
+}
+
+// Shared pump main loop: while frames are in flight, gather their
+// pending Rice partitions, run the interleaved kernel (or single-cursor
+// bulk when fewer than four are pending), resume the machines, and hand
+// completed frames to on_done (retire + refeed; returns false to abort).
+template <typename ST, typename OnDone>
+static bool pump_loop(FrameMachine<ST> (&fm)[4], bool (&active)[4],
+                      const uint8_t* buf, uint64_t buf_bytes,
+                      OnDone&& on_done) {
+    constexpr int W = 4;
+    for (;;) {
+        int nact = active[0] + active[1] + active[2] + active[3];
+        if (nact == 0) return true;
+        if (nact == W) {
+            uint64_t bp[W]; ST* op[W]; uint32_t m[W], kk[W], nd[W];
+            uint8_t fl[W];
+            for (int s = 0; s < W; s++) {
+                bp[s] = fm[s].g.pos();
+                op[s] = fm[s].sf.rice_out();
+                m[s] = fm[s].sf.rice_remaining();
+                kk[s] = fm[s].sf.rice_k;
+            }
+            rice_bulk_4w<ST>(buf, buf_bytes, bp, op, m, kk, nd, fl);
+            for (int s = 0; s < W; s++) {
+                fm[s].g.set_pos(bp[s]);
+                fm[s].sf.resume_rice(nd[s], fl[s] != 0);
+            }
+        } else {
+            // stream tail: fewer than four pending partitions
+            for (int s = 0; s < W; s++) {
+                if (!active[s]) continue;
+                uint64_t bitpos = fm[s].g.pos();
+                uint32_t got = rice_bulk_k(
+                    buf, buf_bytes, bitpos, fm[s].sf.rice_out(),
+                    fm[s].sf.rice_remaining(), fm[s].sf.rice_k);
+                fm[s].g.set_pos(bitpos);
+                fm[s].sf.resume_rice(got, true);
+            }
+        }
+        for (int s = 0; s < W; s++) {
+            if (!active[s]) continue;
+            int r = fm[s].step();
+            if (r == SFM_NEED_RICE) continue;
+            if (r != DEC_OK || !on_done(s)) return false;
+        }
     }
 }
 
@@ -1816,8 +1887,8 @@ static int64_t pump_decode(const uint8_t* buf, uint64_t buf_bytes,
             idx[s] = j;
             int r = fm[s].start(buf, buf_bytes, cands[j].pos, sample_rate,
                                 bps, channels, max_block,
-                                chbufs.data() + cap * s,
-                                out + sample_off[j] * channels);
+                                chbufs.data() + cap * s, 0,
+                                out + sample_off[j] * channels, false);
             if (r == SFM_NEED_RICE) { active[s] = true; return true; }
             if (r == DEC_OK && retire(s)) continue;  // no-Rice frame
             return false;
@@ -1826,46 +1897,76 @@ static int64_t pump_decode(const uint8_t* buf, uint64_t buf_bytes,
     };
     for (int s = 0; s < W; s++)
         if (!feed(s)) return -1;
-    for (;;) {
-        int nact = active[0] + active[1] + active[2] + active[3];
-        if (nact == 0) break;
-        if (nact == W) {
-            uint64_t bp[W]; ST* op[W]; uint32_t m[W], kk[W], nd[W];
-            uint8_t fl[W];
-            for (int s = 0; s < W; s++) {
-                bp[s] = fm[s].g.pos();
-                op[s] = fm[s].sf.rice_out();
-                m[s] = fm[s].sf.rice_remaining();
-                kk[s] = fm[s].sf.rice_k;
-            }
-            rice_bulk_4w<ST>(buf, buf_bytes, bp, op, m, kk, nd, fl);
-            for (int s = 0; s < W; s++) {
-                fm[s].g.set_pos(bp[s]);
-                fm[s].sf.resume_rice(nd[s], fl[s] != 0);
-            }
+    if (!pump_loop<ST>(fm, active, buf, buf_bytes,
+                       [&](int s) { return retire(s) && feed(s); }))
+        return -1;
+    return (int64_t)cands.size();
+}
+
+// Raw-mode lockstep pump for the device decode pipeline's feed: four
+// frames parse in lockstep on one thread, their warm-ups + residuals
+// written DIRECTLY into the int32 device panels — no intermediate int64
+// channel buffer and no copy pass, unlike the sequential raw parser.
+// Engaged for bps < 26 only (the sequential path keeps the int64
+// fit-check for wider streams); residuals of hostile >int32 streams wrap
+// exactly as the sequential int32 cast does.  Returns candidates parsed
+// or -1 (caller falls back to the sequential raw parser).
+static int64_t pump_parse_raw(const uint8_t* buf, uint64_t buf_bytes,
+                              const std::vector<Cand>& cands,
+                              uint32_t sample_rate, uint32_t channels,
+                              uint32_t bps, uint32_t block_size,
+                              int32_t* out_buf, uint8_t* out_order,
+                              int8_t* out_shift, uint8_t* out_wasted,
+                              int32_t* out_qcoeffs, uint8_t* out_assignment,
+                              uint32_t* out_block, uint64_t* last_end_byte) {
+    constexpr int W = 4;
+    FrameMachine<int32_t> fm[W];
+    size_t idx[W];
+    bool active[W] = {false, false, false, false};
+    size_t next = 0;
+
+    auto retire = [&](int s) -> bool {
+        uint64_t endb = fm[s].g.pos() >> 3;
+        size_t j = idx[s];
+        if (j + 1 < cands.size()) {
+            if (endb != cands[j + 1].pos) return false;
         } else {
-            // stream tail: fewer than four pending partitions
-            for (int s = 0; s < W; s++) {
-                if (!active[s]) continue;
-                uint64_t bitpos = fm[s].g.pos();
-                uint32_t got = rice_bulk_k(
-                    buf, buf_bytes, bitpos, fm[s].sf.rice_out(),
-                    fm[s].sf.rice_remaining(), fm[s].sf.rice_k);
-                fm[s].g.set_pos(bitpos);
-                fm[s].sf.resume_rice(got, true);
-            }
+            *last_end_byte = endb;
         }
-        for (int s = 0; s < W; s++) {
-            if (!active[s]) continue;
-            int r = fm[s].step();
-            if (r == SFM_NEED_RICE) continue;
-            if (r == DEC_OK && retire(s)) {
-                if (!feed(s)) return -1;
-            } else {
-                return -1;
-            }
+        for (uint32_t c = 0; c < channels; c++) {
+            size_t fc = j * channels + c;
+            const RawSubframe& r = fm[s].raws[c];
+            out_order[fc] = (uint8_t)r.order;
+            out_shift[fc] = (int8_t)r.shift;
+            out_wasted[fc] = (uint8_t)r.wasted;
+            for (uint32_t t = 0; t < 32; t++)
+                out_qcoeffs[fc * 32 + t] =
+                    t < r.order ? (int32_t)r.q[t] : 0;
         }
-    }
+        out_assignment[j] = (uint8_t)fm[s].hdr.ca;
+        out_block[j] = cands[j].block;
+        return true;
+    };
+    auto feed = [&](int s) -> bool {
+        active[s] = false;
+        while (next < cands.size()) {
+            size_t j = next++;
+            idx[s] = j;
+            int32_t* panel = out_buf + (size_t)j * channels * block_size;
+            int r = fm[s].start(buf, buf_bytes, cands[j].pos, sample_rate,
+                                bps, channels, block_size, panel,
+                                block_size, nullptr, true);
+            if (r == SFM_NEED_RICE) { active[s] = true; return true; }
+            if (r == DEC_OK && retire(s)) continue;
+            return false;
+        }
+        return true;
+    };
+    for (int s = 0; s < W; s++)
+        if (!feed(s)) return -1;
+    if (!pump_loop<int32_t>(fm, active, buf, buf_bytes,
+                            [&](int s) { return retire(s) && feed(s); }))
+        return -1;
     return (int64_t)cands.size();
 }
 
@@ -2299,7 +2400,7 @@ int64_t nat_scan_frames(
     return found;
 }
 
-int64_t nat_parse_frames_raw(
+static int64_t parse_frames_raw_seq(
     const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
     uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,
     uint32_t block_size /* expected fixed size; last frame may be short */,
@@ -2421,6 +2522,81 @@ int64_t nat_parse_frames_raw(
     }
     *end_bitpos = g.pos();
     return decoded;
+}
+
+// Dispatcher: the lockstep raw pump handles the uniform-block prefix of
+// the stream (four frames in flight, residuals written straight into the
+// int32 device panels), then the sequential raw parser classifies
+// whatever follows — a short last frame, garbage, EOF — with exactly the
+// error surface the pure sequential run would produce.  Any screen
+// failure or speculation mismatch falls back to the sequential parser
+// for the whole range.
+int64_t nat_parse_frames_raw(
+    const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
+    uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,
+    uint32_t block_size, uint64_t remaining_samples,
+    int32_t* out_buf, uint8_t* out_order, int8_t* out_shift,
+    uint8_t* out_wasted, int32_t* out_qcoeffs, uint8_t* out_assignment,
+    uint32_t* out_block, uint64_t* end_bitpos, uint32_t* error) {
+    if (!tables_ready) init_tables();
+    uint64_t start_byte = start_bitpos >> 3;
+    // int32 panels need bps + the mid/side extra bit < 26 wide warm-ups;
+    // wider streams keep the sequential parser's int64 fit-check.
+    // channels > 2 streams are rare enough to skip the pump's 8-channel
+    // raws bookkeeping... they are supported (raws[8]); gate only width.
+    if (!(start_bitpos & 7) && bps < 26 && channels <= 8
+        && block_size > 14 && buf_bytes >= (1u << 14)
+        && buf_bytes - start_byte >= (1u << 14)
+        && !getenv("FLAC_TPU_NO_ILV")) {
+        std::vector<Cand> cands;
+        scan_frame_candidates(buf, buf_bytes, start_byte, n_frames,
+                              sample_rate, channels, bps, block_size, cands);
+        size_t K = 0;  // uniform-block prefix is the pumpable span
+        while (K < cands.size() && cands[K].block == block_size) K++;
+        if (remaining_samples != ~0ull
+            && K > remaining_samples / block_size)
+            K = remaining_samples / block_size;
+        if (K >= 2 && cands[0].pos == start_byte) {
+            cands.resize(K);
+            uint64_t last_end = 0;
+            int64_t got = pump_parse_raw(
+                buf, buf_bytes, cands, sample_rate, channels, bps,
+                block_size, out_buf, out_order, out_shift, out_wasted,
+                out_qcoeffs, out_assignment, out_block, &last_end);
+            if (got >= 0) {
+                uint64_t done_samples = (uint64_t)K * block_size;
+                uint64_t tail_rem = remaining_samples == ~0ull
+                    ? ~0ull : remaining_samples - done_samples;
+                uint32_t tail_frames = n_frames - (uint32_t)K;
+                if (tail_frames == 0) {
+                    *error = DEC_OK;
+                    *end_bitpos = last_end * 8;
+                    return (int64_t)K;
+                }
+                uint64_t tail_end = 0;
+                uint32_t tail_err = DEC_OK;
+                int64_t extra = parse_frames_raw_seq(
+                    buf, buf_bytes, last_end * 8, tail_frames, sample_rate,
+                    channels, bps, block_size, tail_rem,
+                    out_buf + (size_t)K * channels * block_size,
+                    out_order + (size_t)K * channels,
+                    out_shift + (size_t)K * channels,
+                    out_wasted + (size_t)K * channels,
+                    out_qcoeffs + (size_t)K * channels * 32,
+                    out_assignment + K, out_block + K,
+                    &tail_end, &tail_err);
+                *end_bitpos = tail_end;
+                *error = tail_err;
+                return (int64_t)K + extra;
+            }
+        }
+    }
+    return parse_frames_raw_seq(buf, buf_bytes, start_bitpos, n_frames,
+                                sample_rate, channels, bps, block_size,
+                                remaining_samples, out_buf, out_order,
+                                out_shift, out_wasted, out_qcoeffs,
+                                out_assignment, out_block, end_bitpos,
+                                error);
 }
 
 }  // extern "C"

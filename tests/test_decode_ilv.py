@@ -116,3 +116,52 @@ def test_ilv_tiny_buffer_falls_back():
     n = 3000
     data = _encode(n, signal="music")
     _assert_same(data, n)
+
+
+def _raw(data, remaining, ilv):
+    d = Decoder(io.BytesIO(data))
+    view, start = d.r.np_view(), d.r.pos
+    if not ilv:
+        os.environ["FLAC_TPU_NO_ILV"] = "1"
+    try:
+        return nat.parse_frames_raw(view, start, 10 ** 6, 44100, 2,
+                                    d.streaminfo.bits_per_sample,
+                                    d.streaminfo.maximum_block_size,
+                                    remaining)
+    finally:
+        os.environ.pop("FLAC_TPU_NO_ILV", None)
+
+
+@pytest.mark.parametrize("signal", ["noise", "music", "steps", "silence"])
+@pytest.mark.parametrize("bps", [16, 24])
+def test_raw_parse_pump_equals_sequential(signal, bps):
+    """The raw pump writes residual panels directly; every output field
+    must match the sequential parser exactly."""
+    n = 120_000
+    data = _encode(n, bps=bps, signal=signal,
+                   opts=Options.best().no_seektable())
+    r1 = _raw(data, n, ilv=False)
+    r2 = _raw(data, n, ilv=True)
+    assert r1.keys() == r2.keys()
+    for key in r1:
+        if isinstance(r1[key], np.ndarray):
+            np.testing.assert_array_equal(r1[key], r2[key], err_msg=key)
+        else:
+            assert r1[key] == r2[key], key
+
+
+def test_raw_parse_pump_corruption_identical():
+    n = 120_000
+    data = bytearray(_encode(n, signal="music"))
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        corrupt = bytearray(data)
+        pos = int(rng.integers(len(data) // 2, len(data) - 1))
+        corrupt[pos] ^= 1 << int(rng.integers(8))
+        r1 = _raw(bytes(corrupt), n, ilv=False)
+        r2 = _raw(bytes(corrupt), n, ilv=True)
+        for key in r1:
+            if isinstance(r1[key], np.ndarray):
+                np.testing.assert_array_equal(r1[key], r2[key], err_msg=key)
+            else:
+                assert r1[key] == r2[key], key

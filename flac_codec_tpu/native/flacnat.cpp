@@ -1853,6 +1853,7 @@ static bool pump_loop(FrameMachine<ST> (&fm)[4], bool (&active)[4],
 template <typename ST>
 static int64_t pump_decode(const uint8_t* buf, uint64_t buf_bytes,
                            const std::vector<Cand>& cands,
+                           size_t j0, size_t j1,
                            const std::vector<uint64_t>& sample_off,
                            uint32_t sample_rate, uint32_t channels,
                            uint32_t bps, uint32_t max_block,
@@ -1865,7 +1866,7 @@ static int64_t pump_decode(const uint8_t* buf, uint64_t buf_bytes,
     FrameMachine<ST> fm[W];
     size_t idx[W];
     bool active[W] = {false, false, false, false};
-    size_t next = 0;
+    size_t next = j0;
 
     auto retire = [&](int s) -> bool {
         uint64_t endb = fm[s].g.pos() >> 3;
@@ -1874,15 +1875,14 @@ static int64_t pump_decode(const uint8_t* buf, uint64_t buf_bytes,
             // the decoded frame must end exactly at the next candidate:
             // a false sync inside frame data fails here -> fallback
             if (endb != cands[j + 1].pos) return false;
-        } else {
-            *last_end_byte = endb;
         }
+        if (j + 1 == j1) *last_end_byte = endb;
         block_sizes[j] = cands[j].block;
         return true;
     };
     auto feed = [&](int s) -> bool {  // false -> abort the pump
         active[s] = false;
-        while (next < cands.size()) {
+        while (next < j1) {
             size_t j = next++;
             idx[s] = j;
             int r = fm[s].start(buf, buf_bytes, cands[j].pos, sample_rate,
@@ -1900,7 +1900,7 @@ static int64_t pump_decode(const uint8_t* buf, uint64_t buf_bytes,
     if (!pump_loop<ST>(fm, active, buf, buf_bytes,
                        [&](int s) { return retire(s) && feed(s); }))
         return -1;
-    return (int64_t)cands.size();
+    return (int64_t)(j1 - j0);
 }
 
 // Raw-mode lockstep pump for the device decode pipeline's feed: four
@@ -2113,51 +2113,27 @@ int64_t nat_decode_frames_mt(
 
         std::vector<uint8_t> ok(nt, 0);
         std::vector<uint64_t> span_end(nt, 0);
-        std::vector<uint32_t> span_err(nt, DEC_OK);
         std::vector<std::thread> pool;
         for (uint32_t t = 0; t < nt; t++) {
             pool.emplace_back([&, t]() {
                 size_t j0 = split[t], j1 = split[t + 1];
                 if (j0 >= j1) { ok[t] = 2; return; }  // empty span: skip
-                FastBits g;
-                g.init(buf, buf_bytes, cands[j0].pos * 8);
-                size_t j = j0;
-                uint64_t limit_pos = j1 < cands.size()
-                    ? cands[j1].pos : ~0ull;
-                bool good = true;
-                while (j < j1) {
-                    uint64_t fs = g.pos() >> 3;
-                    if (fs != cands[j].pos) { good = false; break; }
-                    FrameHdr hdr;
-                    if (parse_frame_header(g, buf, fs, sample_rate, bps,
-                                           &hdr) != DEC_OK) {
-                        good = false; break;
-                    }
-                    int32_t* dst = out + (uint64_t)sample_off[j] * channels;
-                    int rc = (hdr.bps <= 24)
-                        ? decode_frame_body<int32_t>(g, buf, fs,
-                              hdr.block_size, hdr.bps, hdr.ch_count,
-                              hdr.ca, dst)
-                        : decode_frame_body<int64_t>(g, buf, fs,
-                              hdr.block_size, hdr.bps, hdr.ch_count,
-                              hdr.ca, dst);
-                    if (rc != DEC_OK) {
-                        span_err[t] = (uint32_t)rc;
-                        good = false; break;
-                    }
-                    g.align();
-                    block_sizes[j] = hdr.block_size;
-                    j++;
-                    // skip candidates the decoded frame ran past: those
-                    // were false syncs inside frame data -> offsets wrong
-                    if (j < j1 && (g.pos() >> 3) != cands[j].pos) {
-                        good = false; break;
-                    }
-                }
-                uint64_t endp = g.pos() >> 3;
-                span_end[t] = endp;
-                ok[t] = (good && j == j1
-                         && (limit_pos == ~0ull || endp == limit_pos)) ? 1 : 0;
+                // each worker pumps its span: four frames in lockstep per
+                // thread (the pump's retire step enforces that every
+                // decoded frame ends exactly at the next candidate, which
+                // subsumes the old run-past / offset checks)
+                uint64_t span_last = 0;
+                int64_t got = bps <= 24
+                    ? pump_decode<int32_t>(buf, buf_bytes, cands, j0, j1,
+                                           sample_off, sample_rate,
+                                           channels, bps, max_block, out,
+                                           block_sizes, &span_last)
+                    : pump_decode<int64_t>(buf, buf_bytes, cands, j0, j1,
+                                           sample_off, sample_rate,
+                                           channels, bps, max_block, out,
+                                           block_sizes, &span_last);
+                span_end[t] = span_last;
+                ok[t] = got >= 0 ? 1 : 0;
             });
         }
         for (auto& th : pool) th.join();
@@ -2251,12 +2227,12 @@ int64_t nat_decode_frames_ilv(
     if (!fallback) {
         uint64_t last_end = 0;
         int64_t got = bps <= 24
-            ? pump_decode<int32_t>(buf, buf_bytes, cands, sample_off,
-                                   sample_rate, channels, bps, max_block,
-                                   out, block_sizes, &last_end)
-            : pump_decode<int64_t>(buf, buf_bytes, cands, sample_off,
-                                   sample_rate, channels, bps, max_block,
-                                   out, block_sizes, &last_end);
+            ? pump_decode<int32_t>(buf, buf_bytes, cands, 0, cands.size(),
+                                   sample_off, sample_rate, channels, bps,
+                                   max_block, out, block_sizes, &last_end)
+            : pump_decode<int64_t>(buf, buf_bytes, cands, 0, cands.size(),
+                                   sample_off, sample_rate, channels, bps,
+                                   max_block, out, block_sizes, &last_end);
         if (got >= 0) {
             uint64_t tail_rem = remaining_samples == ~0ull
                 ? ~0ull : remaining_samples - total_span_samples;

@@ -745,8 +745,29 @@ int64_t nat_assemble_packed(
 
         uint64_t body_bytes = (body_bits[b] + 7) >> 3;
         if (hdr_bytes + body_bytes + 2 > max_bytes) { lengths[b] = 0; return; }
-        memcpy(frame_buf + hdr_bytes, blob + (uint64_t)b * slot_bytes,
-               body_bytes);
+        {
+            // the device emits native-endian uint32 words; MSB-first bit
+            // order means big-endian bytes, so the byte swap is fused
+            // into this copy (a separate numpy byteswap pass over the
+            // whole blob measured ~25% of packed assembly)
+            const uint8_t* src = blob + (uint64_t)b * slot_bytes;
+            uint8_t* dst = frame_buf + hdr_bytes;
+            uint64_t nwords = body_bytes >> 2;
+            for (uint64_t i = 0; i < nwords; i++) {
+                uint32_t w32;
+                memcpy(&w32, src + i * 4, 4);
+                w32 = __builtin_bswap32(w32);
+                memcpy(dst + i * 4, &w32, 4);
+            }
+            if (body_bytes & 3) {
+                uint32_t w32;
+                memcpy(&w32, src + nwords * 4, 4);  // slot is padded
+                w32 = __builtin_bswap32(w32);
+                uint8_t tail[4];
+                memcpy(tail, &w32, 4);
+                memcpy(dst + nwords * 4, tail, body_bytes & 3);
+            }
+        }
 
         // CRC-16(header || body) = CRC(header)*x^(8*Lb) + inner*x^(8*Lb+15)
         uint32_t xl = gf16_xpow8(body_bytes);

@@ -171,8 +171,11 @@ def _assemble_frames_packed(nat, plan: dict, pcm: np.ndarray,
     frame's complete body; the host writes headers + memcpy + CRC finish."""
     B, C, N = pcm.shape
     W = plan["frame_words"].shape[0] // B
-    words = plan["frame_words"].astype(">u4")  # big-endian = bit order
-    blob = np.ascontiguousarray(words).view(np.uint8)
+    # native-endian words straight from the device; the assembler fuses
+    # the MSB-first byte swap into its per-frame copy (a numpy .astype
+    # byteswap pass here measured ~25% of packed assembly)
+    words = np.ascontiguousarray(plan["frame_words"], dtype=np.uint32)
+    blob = words.view(np.uint8)
     fallback = np.ascontiguousarray(plan["frame_fallback"], dtype=np.uint8)
     frames = nat.assemble_packed(
         N=N, bps_base=streaminfo.bits_per_sample,

@@ -94,6 +94,14 @@ def test_ilv_equals_sequential_24bit(preset):
     _assert_same(data, n)
 
 
+def test_ilv_equals_sequential_32bit():
+    # bps > 24 routes through the int64 FrameMachine/kernel instantiation
+    n = 100_000
+    data = _encode(n, bps=32, signal="music",
+                   opts=Options.best().no_seektable())
+    _assert_same(data, n)
+
+
 def test_ilv_corruption_identical_error_surface():
     n = 150_000
     data = bytearray(_encode(n, signal="music"))

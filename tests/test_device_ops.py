@@ -149,6 +149,30 @@ def test_batch_pipeline_24bit_rice2():
     assert b1.getvalue() == b2.getvalue()
 
 
+def test_batch_pipeline_narrow_gate_boundary():
+    """bps 26 is the widest stereo width the planner's int32 narrow
+    analysis mode admits (side = 27 bits + 4 bits of fixed-cascade
+    widening = 31); bps 27 must take the int64 panels.  Both sides of
+    the gate stay byte-identical to the host encoder."""
+    rng = np.random.default_rng(8)
+    bs = 512
+    n = bs * 3
+    for bps in (26, 27):
+        lim = 1 << (bps - 2)
+        inter = (rng.integers(-lim, lim, 2 * n)).astype(np.int64)
+        opts = Options(block_size=bs)
+        b1 = io.BytesIO()
+        w = FlacSampleWriter(b1, opts, 96000, bps, 2, total_samples=n)
+        w.write(inter)
+        w.finalize()
+        b2 = io.BytesIO()
+        be = BatchEncoder(b2, opts, 96000, bps, 2, total_samples=n,
+                          batch_frames=2)
+        be.write(inter)
+        be.finalize()
+        assert b1.getvalue() == b2.getvalue(), f"bps={bps}"
+
+
 def test_batch_pipeline_mono_and_multichannel():
     rng = np.random.default_rng(7)
     bs = 512

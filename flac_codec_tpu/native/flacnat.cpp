@@ -988,7 +988,12 @@ static inline uint32_t rice_bulk_k(const uint8_t* buf, uint64_t nbytes,
 // overlapping chains (measured ~1.5x over four sequential passes).  Each
 // lane always reloads its window at the current bit position — one
 // unaligned 8-byte load per symbol — which keeps the loop body branch-
-// free except for a single expect-false guard per lane.  Returns when
+// free except for a single expect-false guard per lane.  (Fusing a
+// deferred stereo-predict strand into this loop was built and measured
+// at BOTH per-symbol granularity — register spill, 0.90x — and as
+// alternating ~190/280-uop sub-blocks — the ~200-entry reservation
+// station never holds both, 1.06x vs the unfused 1.08x — so the pump
+// keeps prediction inline at frame completion.)  Returns when
 // ANY lane completes its m[] symbols or hits an over-long/EOF window;
 // ndone[] counts symbols decoded and flags[] marks lanes that need the
 // caller's checked re-entry path (over-long/EOF), exactly mirroring

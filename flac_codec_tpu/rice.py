@@ -18,20 +18,64 @@ MAX_PARTITIONS = 64  # reference: src/encode.rs:3756
 U32_MAX = (1 << 32) - 1
 
 
-def _partition_plan(abs_sums: np.ndarray, lens: np.ndarray, rice_max: int):
-    """Cost + coding decision for each partition of one candidate order.
+def _partition_costs(abs_sums: np.ndarray, lens: np.ndarray, rice_max: int):
+    """Vectorized cost + coding decision for one candidate order.
 
-    Returns (total_estimated_bits, [(kind, param) ...]) or None if the
-    candidate must be dropped (mirrors the Option-collect in the
-    reference's best_partitions).
+    Returns (total_estimated_bits, const_mask, escape_mask, rice_params,
+    escape_sizes) or None if the candidate must be dropped (mirrors the
+    Option-collect in the reference's best_partitions).  The per-partition
+    Python loop this replaces was the host encoder's hottest function
+    (~40% of encode at preset -8); only the rare escape partitions still
+    loop (they need exact integer bit_length).
     """
-    plan = []
+    s = abs_sums
+    n = lens
+    if len(s) <= 8:
+        # numpy per-op overhead beats the plain loop at tiny counts
+        return _partition_costs_scalar(s, n, rice_max)
+    if bool((n == 0).any()):
+        return None
+    const = s == 0
+    gt = s > n
+    bn = np.zeros(len(s), dtype=np.int64)
+    if bool(gt.any()):
+        # float division exactly as the scalar code did: the cost model's
+        # rounding is part of the stream-level behavior
+        bn[gt] = np.ceil(
+            np.log2(s[gt].astype(np.float64) / n[gt].astype(np.float64))
+        ).astype(np.int64)
+    esc = gt & (bn >= rice_max)
+    rice = np.where(gt & ~esc, bn, 0)
+    live = ~const & ~esc
+    tail = np.where(rice > 0, s >> np.maximum(rice - 1, 0), s << 1)
+    size = 4 + (1 + rice) * n + tail - n // 2
+    if bool((tail[live] > U32_MAX).any()) or bool((size[live] > U32_MAX).any()):
+        return None
+    total = int(size[live].sum())
+    esc_sizes = np.zeros(len(s), dtype=np.int64)
+    for i in np.nonzero(esc)[0]:
+        escape_size = int(s[i]).bit_length() - 1 + 2  # ilog2(sum) + 2
+        if escape_size > 31:
+            return None
+        esc_sizes[i] = escape_size
+        total += escape_size * int(n[i])
+    return total, const, esc, rice, esc_sizes
+
+
+def _partition_costs_scalar(abs_sums: np.ndarray, lens: np.ndarray,
+                            rice_max: int):
+    """Scalar twin of _partition_costs for small partition counts."""
+    count = len(abs_sums)
+    const = np.zeros(count, dtype=bool)
+    esc = np.zeros(count, dtype=bool)
+    rice = np.zeros(count, dtype=np.int64)
+    esc_sizes = np.zeros(count, dtype=np.int64)
     total = 0
-    for s, n in zip(abs_sums.tolist(), lens.tolist()):
+    for i, (s, n) in enumerate(zip(abs_sums.tolist(), lens.tolist())):
         if n == 0:
             return None
         if s == 0:
-            plan.append(("constant", 0))
+            const[i] = True
             continue
         if s > n:
             bits_needed = int(np.ceil(np.log2(float(s) / float(n))))
@@ -40,20 +84,21 @@ def _partition_plan(abs_sums: np.ndarray, lens: np.ndarray, rice_max: int):
                 if escape_size > 31:
                     return None
                 total += escape_size * n
-                plan.append(("escape", escape_size))
+                esc[i] = True
+                esc_sizes[i] = escape_size
                 continue
-            rice = bits_needed
+            r = bits_needed
         else:
-            rice = 0
-        tail = (s >> (rice - 1)) if rice > 0 else (s << 1)
+            r = 0
+        tail = (s >> (r - 1)) if r > 0 else (s << 1)
         if tail > U32_MAX:
             return None
-        size = 4 + (1 + rice) * n + tail - n // 2
+        size = 4 + (1 + r) * n + tail - n // 2
         if size > U32_MAX:
             return None
         total += size
-        plan.append(("rice", rice))
-    return total, plan
+        rice[i] = r
+    return total, const, esc, rice, esc_sizes
 
 
 def best_partitions(residuals: np.ndarray, predictor_order: int,
@@ -70,7 +115,7 @@ def best_partitions(residuals: np.ndarray, predictor_order: int,
     abs_res = np.abs(res)
     tz = (block_size & -block_size).bit_length() - 1 if block_size else 0
 
-    best: Optional[Tuple[int, int, list]] = None  # (bits, order, plan)
+    best: Optional[Tuple[int, int, tuple]] = None  # (bits, order, costs)
     for po in range(0, min(tz, max_partition_order) + 1):
         count = 1 << po
         if count > MAX_PARTITIONS:
@@ -83,30 +128,31 @@ def best_partitions(residuals: np.ndarray, predictor_order: int,
         lens[0] = p0
         bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
         sums = np.add.reduceat(abs_res, bounds) if len(abs_res) else np.zeros(count, np.int64)
-        got = _partition_plan(sums, lens, rice_max)
+        got = _partition_costs(sums, lens, rice_max)
         if got is None:
             continue
-        bits, plan = got
-        if best is None or bits < best[0]:
-            best = (bits, po, plan)
+        if best is None or got[0] < best[0]:
+            best = (got[0], po, got)
 
     if best is None:
         # fallback: single partition escaped at 31 bits
         return [("escape", 31, res)]
 
-    _, po, plan = best
+    _, po, (_, const, esc, rice, esc_sizes) = best
     count = 1 << po
     part_len = block_size // count
     out = []
     pos = 0
-    for i, (kind, param) in enumerate(plan):
+    for i in range(count):
         n = (part_len - predictor_order) if i == 0 else part_len
         values = res[pos:pos + n]
         pos += n
-        if kind == "constant":
+        if const[i]:
             out.append(("constant", 0, len(values)))
+        elif esc[i]:
+            out.append(("escape", int(esc_sizes[i]), values))
         else:
-            out.append((kind, param, values))
+            out.append(("rice", int(rice[i]), values))
     return out
 
 

@@ -14,6 +14,7 @@ import sys
 
 from .. import metadata as meta
 from ..decode import FlacSampleReader
+from ..errors import FlacError
 from ..utils.wav import pcm_to_wave_bytes, write_wave
 
 
@@ -91,15 +92,26 @@ def main(argv=None) -> int:
             out = os.path.join(args.output or os.path.dirname(path) or ".", base)
         jobs.append((path, out))
 
+    # surface per-file errors as clean diagnostics, not tracebacks (the
+    # reference CLI prints "<path>: <error>" and continues; exit nonzero)
+    failed = 0
     if len(jobs) == 1 or args.tpu:  # one device: decode serially on it
         for p_, o_ in jobs:
-            print(convert_one(p_, o_, tpu=args.tpu))
+            try:
+                print(convert_one(p_, o_, tpu=args.tpu))
+            except (OSError, FlacError) as e:
+                print(f"{p_}: {e}", file=sys.stderr)
+                failed += 1
     else:
         with concurrent.futures.ProcessPoolExecutor(args.jobs) as ex:
-            futures = [ex.submit(convert_one, p_, o_) for p_, o_ in jobs]
+            futures = {ex.submit(convert_one, p_, o_): p_ for p_, o_ in jobs}
             for f in concurrent.futures.as_completed(futures):
-                print(f.result())
-    return 0
+                try:
+                    print(f.result())
+                except (OSError, FlacError) as e:
+                    print(f"{futures[f]}: {e}", file=sys.stderr)
+                    failed += 1
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -41,7 +41,19 @@ def main(argv=None) -> int:
     import importlib
 
     mod = importlib.import_module(f".{TOOLS[tool]}", __name__)
-    return mod.main(argv[1:]) or 0
+    try:
+        return mod.main(argv[1:]) or 0
+    except Exception as e:
+        # every tool reports clean single-line diagnostics for expected
+        # failures (missing/unreadable files, invalid streams) like the
+        # reference examples do; anything else is a real bug and keeps
+        # its traceback
+        from ..errors import FlacError
+
+        if isinstance(e, (OSError, FlacError, ValueError)):
+            print(f"{tool}: {e}", file=sys.stderr)
+            return 1
+        raise
 
 
 if __name__ == "__main__":

@@ -190,3 +190,18 @@ def test_wav_valid_bits_in_wider_container(tmp_path):
     assert spec.bits_per_sample == 20 and spec.container_bits == 24
     got = np.concatenate(list(read_wave_data(buf, spec)))
     np.testing.assert_array_equal(got, vals20)
+
+
+def test_cli_clean_error_on_missing_file(capsys, tmp_path):
+    """Expected failures print one diagnostic line + exit 1, no traceback
+    (dispatcher-level contract shared by all 14 tools)."""
+    from flac_codec_tpu import cli as cli_mod
+
+    missing = str(tmp_path / "nope.flac")
+    for tool in ("flac-verify", "flac-info", "flac-analyze", "flac2wav"):
+        rc = cli_mod.main([tool, missing])
+        captured = capsys.readouterr()
+        assert rc == 1, tool
+        text = captured.err + captured.out
+        assert "Traceback" not in text, tool
+        assert "nope.flac" in text, tool

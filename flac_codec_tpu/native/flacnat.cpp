@@ -2067,6 +2067,13 @@ int64_t nat_decode_frames(
     return decoded;
 }
 
+int64_t nat_decode_frames_ilv(
+    const uint8_t* buf, uint64_t buf_bytes, uint64_t start_bitpos,
+    uint32_t n_frames, uint32_t sample_rate, uint32_t channels, uint32_t bps,
+    uint32_t max_block, uint64_t remaining_samples,
+    int32_t* out, uint32_t* block_sizes, uint64_t* end_bitpos,
+    uint32_t* error);
+
 // Multithreaded whole-buffer decode via speculative frame-boundary scan.
 //
 // FLAC frames carry no length field, so frame starts are only known by
@@ -2090,7 +2097,7 @@ int64_t nat_decode_frames_mt(
     if (!tables_ready) init_tables();
     uint64_t start_byte = start_bitpos >> 3;
     if (nthreads <= 1 || buf_bytes - start_byte < (1u << 18))
-        return nat_decode_frames(buf, buf_bytes, start_bitpos, n_frames,
+        return nat_decode_frames_ilv(buf, buf_bytes, start_bitpos, n_frames,
                                  sample_rate, channels, bps, max_block,
                                  remaining_samples, out, block_sizes,
                                  end_bitpos, error);
@@ -2193,13 +2200,14 @@ int64_t nat_decode_frames_mt(
             *error = tail_err;
             return (int64_t)cands.size() + extra;
         }
-        // fall through to the exact sequential path
+        // fall through: the single-thread pump re-validates and, failing
+        // that, runs the exact sequential path
     }
 
-    return nat_decode_frames(buf, buf_bytes, start_bitpos, n_frames,
-                             sample_rate, channels, bps, max_block,
-                             remaining_samples, out, block_sizes,
-                             end_bitpos, error);
+    return nat_decode_frames_ilv(buf, buf_bytes, start_bitpos, n_frames,
+                                 sample_rate, channels, bps, max_block,
+                                 remaining_samples, out, block_sizes,
+                                 end_bitpos, error);
 }
 
 // Single-thread interleaved decode: the candidate scan breaks the frame

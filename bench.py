@@ -8,14 +8,23 @@ measured steady-state on device-resident batches with dependency-chained
 dispatch and a hard sync — the per-chip number the production pipeline
 sustains when host I/O overlaps device compute.
 
+Output contract (round 4): the headline JSON line is printed IMMEDIATELY
+after the encode device step is measured, then optional sections append
+their fields and ONE final enriched JSON line (same metric/value) is
+printed last.  A global wall-clock deadline (FLAC_TPU_BENCH_DEADLINE,
+default 960 s from process start) skips any section that does not fit, so
+the process always exits 0 with at least the headline captured — round 3's
+run was killed by the driver timeout before printing anything.
+
 Secondary fields report the end-to-end file encode rate through this host's
 device link.  On the benchmarking host the TPU is attached through a
 network tunnel (~100 MB/s up / ~20 MB/s down, high per-transfer latency),
 so end-to-end is link-bound there, not chip-bound; see BASELINE.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Uses the persistent compilation cache in .jax_cache so repeat runs skip
-the slow first compile.
+the slow first compile, and a cached pre-encoded decode-bench stream in
+.bench_cache (regenerated only if missing — the pure-host encode that
+produced it cost ~6 minutes in round 3's run).
 
 Methodology (round 3): every device timing uses DEPENDENCY-CHAINED
 dispatch (each step's input is derived from the previous step's output,
@@ -33,6 +42,14 @@ import os
 import sys
 import time
 from functools import partial
+
+_T0 = time.time()
+DEADLINE = _T0 + float(os.environ.get("FLAC_TPU_BENCH_DEADLINE", "960"))
+
+
+def remaining() -> float:
+    return DEADLINE - time.time()
+
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -53,7 +70,12 @@ from flac_codec_tpu.ops.encode_batch import encode_frames_plan_blob
 from flac_codec_tpu.parallel.batch import BatchEncoder
 
 BASELINE_MBPS = 1000.0  # >= 1 GB/s PCM per chip (BASELINE.json north_star)
-_compression_ratio = None  # set by decode_mbps (preset -8, music-like corpus)
+BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_cache")
+
+
+def emit(out: dict) -> None:
+    print(json.dumps(out), flush=True)
 
 
 def make_audio(n_samples: int, seed: int = 0) -> np.ndarray:
@@ -71,7 +93,8 @@ def make_audio(n_samples: int, seed: int = 0) -> np.ndarray:
 
 def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
                      pack_budget: int, reps: int, chain: int,
-                     frame_pack: bool = True) -> tuple:
+                     frame_pack: bool = True, bits_per_sample: int = 16,
+                     ) -> tuple:
     """Honest steady-state device step rate: dependency-chained dispatch
     with a scalar-download sync (see module methodology note).  With
     ``frame_pack`` (the production default) the step includes full-frame
@@ -79,8 +102,12 @@ def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
     N = opts.block_size
     inter = make_audio(N * batch_frames)  # returns interleaved stereo, 2x len
     pcm = inter.reshape(batch_frames, N, 2).transpose(0, 2, 1)
-    pcm = np.ascontiguousarray(pcm).astype(np.int16)
-    kw = dict(bits_per_sample=16, block_size=N,
+    bytes_per = bits_per_sample // 8
+    if bits_per_sample == 16:
+        pcm = np.ascontiguousarray(pcm).astype(np.int16)
+    else:
+        pcm = np.ascontiguousarray(pcm << (bits_per_sample - 16))
+    kw = dict(bits_per_sample=bits_per_sample, block_size=N,
               max_lpc_order=opts.max_lpc_order,
               max_partition_order=opts.max_partition_order,
               mid_side=opts.mid_side,
@@ -99,7 +126,7 @@ def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
     x = step(x)
     x = step(x)
     float(jnp.abs(x).sum())  # real fence: scalar download
-    pcm_mb = batch_frames * N * 2 * 2 / 1e6  # bytes of 16-bit PCM
+    pcm_mb = batch_frames * N * 2 * bytes_per / 1e6
     best = None
     for _ in range(reps):
         t0 = time.time()
@@ -108,6 +135,8 @@ def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
         float(jnp.abs(x).sum())
         dt = (time.time() - t0) / chain
         best = dt if best is None else min(best, dt)
+        if remaining() < 30:
+            break
     return pcm_mb / best, best * 1e3
 
 
@@ -135,37 +164,44 @@ def end_to_end_mbps(opts: Options, batch_frames: int, analysis: str,
     return pcm_mb / dt
 
 
-def decode_mbps(opts: Options, seconds: float = 48.0) -> tuple:
-    """Native host full-decode rate (per core) on a stream produced by the
-    batch encoder, plus the device predict-step rate for the same shapes."""
-    import jax.numpy as jnp
+def bench_stream(opts: Options, seconds: float) -> bytes:
+    """The preset -8 decode-bench stream, cached on disk: the pure-host
+    encode that produces it runs at ~1.5 MB/s/core and single-handedly
+    blew round 3's driver timeout (VERDICT r3 weak item 1c)."""
+    path = os.path.join(BENCH_CACHE,
+                        "bench_p8_%ds_seed3.flac" % int(seconds))
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return f.read()
+    from flac_codec_tpu.encode import FlacSampleWriter
 
+    n = int(44100 * seconds)
+    n -= n % opts.block_size
+    inter = make_audio(n, seed=3)
+    buf = io.BytesIO()
+    w = FlacSampleWriter(buf, opts, 44100, 16, 2, total_samples=n)
+    w.write(inter)
+    w.finalize()
+    data = buf.getvalue()
+    os.makedirs(BENCH_CACHE, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return data
+
+
+def decode_host_mbps(stream: bytes, opts: Options):
+    """Native host full-decode rate (per core) + thread-scaling sweep."""
     from flac_codec_tpu import native
     from flac_codec_tpu.decode import Decoder
 
     nat = native.load()
     if nat is None:
-        return None, None, None
-    n = int(44100 * seconds)
-    n -= n % opts.block_size
-    inter = make_audio(n, seed=3)
-    # host encoder on purpose: producing the stream via BatchEncoder would
-    # download plan blobs, and any large device->host transfer through the
-    # axon tunnel leaves ALL subsequent device dispatch ~80x slower for
-    # the rest of the process (measured: a 22 us chained elementwise op
-    # becomes ~2 ms after one blob download).  The host and device
-    # encoders are bit-identical at matched options, so the decode
-    # measurements are unaffected.
-    from flac_codec_tpu.encode import FlacSampleWriter
-
-    buf = io.BytesIO()
-    w = FlacSampleWriter(buf, opts, 44100, 16, 2, total_samples=n)
-    w.write(inter)
-    w.finalize()
-    global _compression_ratio
-    _compression_ratio = len(buf.getvalue()) / (n * 4)
+        return None, None
+    d = Decoder(io.BytesIO(stream))
+    n = d.streaminfo.total_samples
     pcm_mb = n * 4 / 1e6
-    d = Decoder(io.BytesIO(buf.getvalue()))
     view, start = d.r.np_view(), d.r.pos
     outbuf = np.empty(n * 2, dtype=np.int32)  # reused across calls
     best = None
@@ -192,18 +228,24 @@ def decode_mbps(opts: Options, seconds: float = 48.0) -> tuple:
             dt = time.perf_counter() - t0
             best_nt = dt if best_nt is None else min(best_nt, dt)
         sweep[str(nt)] = round(pcm_mb / best_nt, 1)
+    return host_rate, sweep
 
-    # device decode step (predict + wasted-bits + decorrelation) on a real
-    # parsed batch from the same preset -8 stream, in the mode the
-    # BatchDecoder dispatcher picks on this backend (the Pallas VMEM
-    # kernel on TPU for 16-bit-class streams, the XLA scan elsewhere);
-    # four rolled input variants are cycled so no layer can serve a
-    # cached result for a repeated (executable, buffer) pair
+
+def decode_device_step_mbps(stream: bytes, opts: Options):
+    """Device decode step (predict + wasted-bits + decorrelation) on a real
+    parsed batch from the same preset -8 stream, in the mode the
+    BatchDecoder dispatcher picks on this backend (the Pallas VMEM kernel
+    on TPU for 16-bit-class streams, the XLA scan elsewhere), honest
+    chained + scalar-sync fence."""
+    from flac_codec_tpu import native
     from flac_codec_tpu.parallel.batch_decode import (BatchDecoder,
                                                       _device_reconstruct)
     from flac_codec_tpu.ops.predict_pallas import pallas_predict_ok
 
-    bd = BatchDecoder(io.BytesIO(buf.getvalue()), batch_frames=64)
+    nat = native.load()
+    if nat is None:
+        return None
+    bd = BatchDecoder(io.BytesIO(stream), batch_frames=64)
     dec2 = bd.decoder
     si2 = dec2.streaminfo
     raw = nat.parse_frames_raw(dec2.r.np_view(), dec2.r.pos, 10 ** 6,
@@ -244,16 +286,14 @@ def decode_mbps(opts: Options, seconds: float = 48.0) -> tuple:
         dt = (time.perf_counter() - t0) / 6
         dev_best = dt if dev_best is None else min(dev_best, dt)
     bd.close()
-    return host_rate, dev_mb / dev_best, sweep
+    return dev_mb / dev_best
 
 
 def assemble_sweep_mbps(opts: Options):
     """Host assembler thread-scaling sweep (the production-shaped bound:
     plan blobs -> serialized frames; VERDICT r1 item 6).  Runs LAST: its
     plan-blob download degrades subsequent device dispatch (tunnel
-    pathology documented in decode_mbps)."""
-    import jax.numpy as jnp
-
+    pathology documented in BASELINE.md)."""
     from flac_codec_tpu import native
 
     nat = native.load()
@@ -305,6 +345,8 @@ def assemble_sweep_mbps(opts: Options):
             assert all(frames)
             sweep[str(nt)] = round(asm_mb / best_nt, 1)
         sweeps[name] = sweep
+        if remaining() < 45:
+            break
 
     return sweeps
 
@@ -316,35 +358,9 @@ def main() -> None:
     reps = int(os.environ.get("FLAC_TPU_BENCH_REPS", "3"))
     chain = int(os.environ.get("FLAC_TPU_BENCH_CHAIN", "16"))
 
-    # ORDER MATTERS: the decode and encode device steps run before
-    # end-to-end and the assembler sweep, because plan-blob downloads
-    # degrade all later device dispatch in this tunneled environment
-    # (see the note in decode_mbps)
-    dec_host = dec_dev = dec_sweep = asm_sweep = None
-    if os.environ.get("FLAC_TPU_BENCH_DECODE", "1") != "0":
-        try:
-            dec_host, dec_dev, dec_sweep = decode_mbps(opts)
-        except Exception:
-            pass
-
+    # ---- headline section: device encode step (always runs, prints first)
     mbps, step_ms = device_step_mbps(opts, batch_frames, analysis,
                                      pack_budget=18, reps=reps, chain=chain)
-
-    e2e = None
-    if os.environ.get("FLAC_TPU_BENCH_E2E", "1") != "0":
-        try:
-            e2e = end_to_end_mbps(
-                opts, batch_frames, analysis,
-                seconds=float(os.environ.get("FLAC_TPU_BENCH_SECONDS", "30")))
-        except Exception:
-            e2e = None
-
-    if os.environ.get("FLAC_TPU_BENCH_DECODE", "1") != "0":
-        try:
-            asm_sweep = assemble_sweep_mbps(opts)
-        except Exception:
-            pass
-
     out = {
         "metric": "pcm_encode_mbps_preset8",
         "value": round(mbps, 1),
@@ -356,20 +372,68 @@ def main() -> None:
                  "chained with scalar-download sync; end_to_end_mbps "
                  "includes this host's tunneled device link"),
     }
-    if e2e is not None:
-        out["end_to_end_mbps"] = round(e2e, 1)
-    if dec_host is not None:
-        out["decode_host_mbps_per_core"] = round(dec_host, 1)
-    if dec_dev is not None:
-        out["decode_device_step_mbps"] = round(dec_dev, 1)
-    if dec_sweep is not None:
-        out["decode_mbps_by_threads"] = dec_sweep
-    if _compression_ratio is not None:
-        out["compression_ratio_preset8"] = round(_compression_ratio, 4)
-    if asm_sweep is not None:
-        out["assemble_mbps_by_threads"] = asm_sweep.get("splice")
-        out["assemble_packed_mbps_by_threads"] = asm_sweep.get("packed")
-    print(json.dumps(out))
+    emit(out)  # the headline must be captured even if a later section dies
+
+    # ---- optional sections, each behind the global deadline; device-step
+    # sections run before any section that downloads plan blobs (tunnel
+    # pathology: one big device->host transfer degrades all later device
+    # dispatch in this process; see BASELINE.md)
+    stream = None
+    if os.environ.get("FLAC_TPU_BENCH_DECODE", "1") != "0" and remaining() > 90:
+        try:
+            stream = bench_stream(
+                opts, float(os.environ.get("FLAC_TPU_BENCH_DEC_SECONDS", "24")))
+            out["compression_ratio_preset8"] = round(
+                len(stream) / (Decoder_total_bytes(stream)), 4)
+        except Exception:
+            stream = None
+
+    if stream is not None and remaining() > 120:
+        try:
+            dev = decode_device_step_mbps(stream, opts)
+            if dev is not None:
+                out["decode_device_step_mbps"] = round(dev, 1)
+                emit(out)
+        except Exception:
+            pass
+
+    if stream is not None and remaining() > 30:
+        try:
+            host_rate, sweep = decode_host_mbps(stream, opts)
+            if host_rate is not None:
+                out["decode_host_mbps_per_core"] = round(host_rate, 1)
+                out["decode_mbps_by_threads"] = sweep
+        except Exception:
+            pass
+
+    if os.environ.get("FLAC_TPU_BENCH_E2E", "1") != "0" and remaining() > 150:
+        try:
+            out["end_to_end_mbps"] = round(end_to_end_mbps(
+                opts, batch_frames, analysis,
+                seconds=float(os.environ.get("FLAC_TPU_BENCH_SECONDS", "15"))),
+                1)
+        except Exception:
+            pass
+
+    if os.environ.get("FLAC_TPU_BENCH_DECODE", "1") != "0" and remaining() > 90:
+        try:
+            asm_sweep = assemble_sweep_mbps(opts)
+            if asm_sweep is not None:
+                out["assemble_mbps_by_threads"] = asm_sweep.get("splice")
+                out["assemble_packed_mbps_by_threads"] = asm_sweep.get("packed")
+        except Exception:
+            pass
+
+    out["bench_seconds"] = round(time.time() - _T0, 1)
+    emit(out)
+
+
+def Decoder_total_bytes(stream: bytes) -> int:
+    """Decoded PCM byte count of a 16-bit stereo stream (for the ratio)."""
+    from flac_codec_tpu.decode import Decoder
+
+    d = Decoder(io.BytesIO(stream))
+    return d.streaminfo.total_samples * 4
 
 
 if __name__ == "__main__":

@@ -72,6 +72,7 @@ class Options:
     padding: Optional[int] = 4096
     seektable_interval: Optional[Tuple[str, int]] = ("seconds", 10)
     metadata_blocks: List = field(default_factory=list)
+    clobber: bool = False
 
     def __post_init__(self):
         if self.block_size < 16 or self.block_size > 65535:
@@ -114,6 +115,11 @@ class Options:
 
     def no_seektable(self) -> "Options":
         return replace(self, seektable_interval=None)
+
+    def overwrite(self) -> "Options":
+        """Allow path-opening writers to clobber existing files; the
+        default refuses (reference: src/encode.rs:1620-1631)."""
+        return replace(self, clobber=True)
 
     def tag(self, key: str, value: str) -> "Options":
         # deep-copy the VorbisComment before mutating: the block object is
@@ -653,6 +659,15 @@ class Encoder:
 # Writer surfaces
 # ---------------------------------------------------------------------------
 
+def _create_file(path, options: Options):
+    """Open an output path for writing, refusing to clobber an existing
+    file unless ``Options.overwrite()`` was chosen (reference:
+    src/encode.rs:1659-1672 — ``create_new`` vs ``File::create``).
+    Raises :class:`FileExistsError` (an ``OSError``, matching the
+    reference's ``io::Error``) when the path exists and clobber is off."""
+    return open(path, "wb+" if options.clobber else "xb+")
+
+
 class FlacSampleWriter:
     """Interleaved i32 sample writer (reference: src/encode.rs:407-689).
 
@@ -676,7 +691,7 @@ class FlacSampleWriter:
                  bits_per_sample: int, channels: int,
                  total_samples: Optional[int] = None):
         if isinstance(fp_or_path, (str, bytes)):
-            fp_or_path = open(fp_or_path, "wb+")
+            fp_or_path = _create_file(fp_or_path, options)
             self._owns_fp = True
         else:
             self._owns_fp = False
@@ -774,7 +789,7 @@ class FlacChannelWriter:
                  bits_per_sample: int, channels: int,
                  total_samples: Optional[int] = None):
         if isinstance(fp_or_path, (str, bytes)):
-            fp_or_path = open(fp_or_path, "wb+")
+            fp_or_path = _create_file(fp_or_path, options)
             self._owns_fp = True
         else:
             self._owns_fp = False

@@ -233,7 +233,7 @@ def update(path: str, f: Callable[[BlockList], None]) -> None:
     >>> from flac_codec_tpu.encode import FlacSampleWriter, Options
     >>> fd, path = tempfile.mkstemp(suffix=".flac"); os.close(fd)
     >>> with FlacSampleWriter(path, Options().with_block_size(16)
-    ...                       .no_seektable(), 44100, 16, 1,
+    ...                       .no_seektable().overwrite(), 44100, 16, 1,
     ...                       total_samples=16) as w:
     ...     w.write(list(range(16)))
     >>> def set_title(blocks):

@@ -378,7 +378,9 @@ class BatchEncoder:
         self.frame_pack = bool(self.pack_budget) if frame_pack is None \
             else (frame_pack and bool(self.pack_budget))
         if isinstance(fp_or_path, (str, bytes)):
-            fp_or_path = open(fp_or_path, "wb+")
+            from ..encode import _create_file
+
+            fp_or_path = _create_file(fp_or_path, options)
             self._owns_fp = True
         else:
             self._owns_fp = False

@@ -139,3 +139,32 @@ def test_error_when_finalize_impossible_closes_fd(tmp_path):
             raise Boom()
     assert w.encoder.fp.closed
     assert os.path.exists(path)
+
+
+@pytest.mark.parametrize("make", WRITERS,
+                         ids=["sample", "channel", "byte", "batch"])
+def test_refuses_to_clobber_existing_file_by_default(tmp_path, make):
+    """Path-opening writers must not overwrite an existing file unless
+    Options.overwrite() was chosen (reference: src/encode.rs:1620-1631,
+    1659-1672: create_new vs File::create)."""
+    path = str(tmp_path / "exists.flac")
+    with open(path, "wb") as fp:
+        fp.write(b"precious")
+    opts = Options().with_block_size(256).no_seektable()
+    with pytest.raises(FileExistsError):
+        make(path, opts)
+    with open(path, "rb") as fp:
+        assert fp.read() == b"precious"  # untouched
+
+    # opt-out: Options.overwrite() clobbers
+    w, write = make(path, opts.overwrite())
+    data = _samples(512 * 2)
+    write(data)
+    w.finalize()
+    _assert_valid_flac(path, len(data))
+
+    # file objects are never gated (the caller already opened them)
+    with open(path, "wb+") as fp:
+        w, write = make(fp, opts)
+        write(data)
+        w.finalize()

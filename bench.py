@@ -44,7 +44,9 @@ import time
 from functools import partial
 
 _T0 = time.time()
-DEADLINE = _T0 + float(os.environ.get("FLAC_TPU_BENCH_DEADLINE", "960"))
+# round 3's driver run was externally killed at ~25 min; 20 min of budget
+# leaves slack for the tunnel's multi-minute device-init worst case
+DEADLINE = _T0 + float(os.environ.get("FLAC_TPU_BENCH_DEADLINE", "1200"))
 
 
 def remaining() -> float:
@@ -373,6 +375,21 @@ def main() -> None:
                  "includes this host's tunneled device link"),
     }
     emit(out)  # the headline must be captured even if a later section dies
+
+    # watchdog: if any later section hangs (e.g. the tunnel stalls inside a
+    # blocking device call that deadline checks can't interrupt), re-emit
+    # the collected fields and hard-exit 0 before the driver's kill
+    import threading
+
+    def _watchdog():
+        while True:
+            left = remaining()
+            if left <= -30:
+                emit(out)
+                os._exit(0)
+            time.sleep(min(30.0, max(1.0, left + 30)))
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     # ---- optional sections, each behind the global deadline; device-step
     # sections run before any section that downloads plan blobs (tunnel

@@ -165,6 +165,71 @@ def quantize(coeffs: jnp.ndarray, order: jnp.ndarray, precision: int,
     return shift.astype(jnp.int32), qcoeffs, valid
 
 
+# 11-bit limbs: 3 limbs cover any int32 sample (hi = x >> 22 keeps sign),
+# and every partial dot stays int32-exact: 32 taps * 2^14 * 2^11 = 2^30
+_RLIMB = 11
+
+
+def _residuals_i32(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
+                   shift: jnp.ndarray, max_taps: int):
+    """All-int32 limb formulation of :func:`residuals` for narrow panels.
+
+    Same technique as the decode kernel's 3/4-limb modes
+    (ops/predict_pallas.py): the 64-bit dot product is three int32
+    partial sums over 11-bit sample limbs, assembled into a
+    carry-propagated (hi, lo) int32 pair, funnel-shifted by the (>= 0)
+    quantization shift, and subtracted from x as a 64-bit pair — so the
+    returned panel wraps exactly like the int64 path's narrow cast and
+    the per-row overflow flag is exact (res fits int32 iff
+    res_hi == res_lo >> 31).  Avoids every int64 op on the (B, N)
+    panels, which XLA emulates on TPU at several times int32 cost.
+    """
+    B, N = x.shape
+    K = _RLIMB
+    m = (1 << K) - 1
+    x_hi = jax.lax.shift_right_arithmetic(x, jnp.int32(2 * K))
+    x_mid = jax.lax.shift_right_arithmetic(x, jnp.int32(K)) & m
+    x_lo = x & m
+    s_hi = jnp.zeros((B, N), jnp.int32)
+    s_mid = jnp.zeros((B, N), jnp.int32)
+    s_lo = jnp.zeros((B, N), jnp.int32)
+    for j in range(min(max_taps, MAX_ORDER)):
+        q = qcoeffs[:, j:j + 1]
+        pad = ((0, 0), (j + 1, 0))
+        s_hi = s_hi + q * jnp.pad(x_hi, pad)[:, :N]
+        s_mid = s_mid + q * jnp.pad(x_mid, pad)[:, :N]
+        s_lo = s_lo + q * jnp.pad(x_lo, pad)[:, :N]
+
+    def add64(hi_a, lo_a, hi_b, lo_b):
+        lo = lo_a + lo_b
+        c = (lo.astype(jnp.uint32) < lo_a.astype(jnp.uint32)).astype(
+            jnp.int32)
+        return hi_a + hi_b + c, lo
+
+    # acc = s_hi*2^22 + s_mid*2^11 + s_lo as an exact (hi, lo) pair
+    hi, lo = s_lo >> 31, s_lo
+    hi, lo = add64(hi, lo, s_mid >> (32 - K), s_mid << K)
+    hi, lo = add64(hi, lo, s_hi >> (32 - 2 * K), s_hi << (2 * K))
+    # pred = acc >> s (s in 0..15): funnel shift, exact for any s >= 0
+    s = shift.astype(jnp.int32)[:, None]
+    sh2 = 32 - jnp.maximum(s, 1)
+    pred_lo = jnp.where(
+        s == 0, lo,
+        (hi << sh2) | (lo.astype(jnp.uint32)
+                       >> s.astype(jnp.uint32)).astype(jnp.int32))
+    pred_hi = jax.lax.shift_right_arithmetic(hi, s)
+    # res = x - pred as a 64-bit pair (x sign-extends)
+    res_lo = x - pred_lo
+    borrow = (x.astype(jnp.uint32)
+              < pred_lo.astype(jnp.uint32)).astype(jnp.int32)
+    res_hi = (x >> 31) - pred_hi - borrow
+    idx = jnp.arange(N)
+    in_res = idx[None, :] >= order[:, None]
+    res = jnp.where(in_res, res_lo, 0)
+    bad = in_res & (res_hi != (res_lo >> 31))
+    return res, bad.any(axis=1)
+
+
 def residuals(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
               shift: jnp.ndarray, max_taps: int = MAX_ORDER):
     """Batched integer LPC residuals
@@ -175,11 +240,15 @@ def residuals(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
     MAX_ORDER) int32 zero-padded; only the first ``max_taps`` taps can be
     nonzero (the configured max LPC order).
     Returns (res (B, N) in x's dtype, valid at positions >= order,
-    overflow (B,)).  The accumulator is always exact int64; in narrow
-    mode an int32-overflowing residual wraps in the returned panel, but
-    ``overflow`` flags it and the planner discards the candidate.
+    overflow (B,)).  The math is always exact 64-bit; in narrow mode an
+    int32-overflowing residual wraps in the returned panel, but
+    ``overflow`` flags it and the planner discards the candidate.  The
+    narrow path runs entirely in int32 limb arithmetic (bit-identical to
+    the int64 path, pinned in tests/test_device_ops.py).
     """
     B, N = x.shape
+    if x.dtype == jnp.int32:
+        return _residuals_i32(x, qcoeffs, order, shift, max_taps)
     acc = jnp.zeros((B, N), jnp.int64)
     q64 = qcoeffs.astype(jnp.int64)
     for j in range(min(max_taps, MAX_ORDER)):

@@ -360,9 +360,32 @@ def main() -> None:
     reps = int(os.environ.get("FLAC_TPU_BENCH_REPS", "3"))
     chain = int(os.environ.get("FLAC_TPU_BENCH_CHAIN", "16"))
 
+    # pre-init watchdog: device init through the tunnel can hang
+    # indefinitely (observed 2026-08-18: jax.devices() never returns while
+    # the tunnel is unreachable).  If the headline is not measured by the
+    # deadline, emit an explicit failure record instead of being killed
+    # silently like round 3.
+    import threading
+
+    headline_done = threading.Event()
+
+    def _init_watchdog():
+        while not headline_done.is_set():
+            if remaining() <= 0:
+                emit({"metric": "pcm_encode_mbps_preset8", "value": None,
+                      "unit": "MB/s/chip", "vs_baseline": None,
+                      "note": ("device step not measured before deadline — "
+                               "device init/compile hung (axon tunnel "
+                               "unreachable?)")})
+                os._exit(0)
+            time.sleep(10)
+
+    threading.Thread(target=_init_watchdog, daemon=True).start()
+
     # ---- headline section: device encode step (always runs, prints first)
     mbps, step_ms = device_step_mbps(opts, batch_frames, analysis,
                                      pack_budget=18, reps=reps, chain=chain)
+    headline_done.set()
     out = {
         "metric": "pcm_encode_mbps_preset8",
         "value": round(mbps, 1),

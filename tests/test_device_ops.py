@@ -409,3 +409,27 @@ def test_batch_pipeline_tiny_blocks_vs_lpc_order():
         be.write(inter)
         be.finalize()
         assert b1.getvalue() == b2.getvalue(), f"mismatch bs={bs} order={order}"
+
+
+def test_residuals_i32_limb_parity():
+    """The narrow-mode all-int32 limb residual path must be bit-identical
+    to the int64 path — wrapped panel AND exact overflow flag — across
+    magnitudes from tiny to full int32 (round 4; the limb assembly
+    mirrors ops/predict_pallas.py's 3/4-limb modes)."""
+    rng = np.random.default_rng(7)
+    B, N = 48, 256
+    for mag in (40, 2 ** 15, 2 ** 24, 2 ** 26, 2 ** 30, 2 ** 31 - 1):
+        x = rng.integers(-mag, mag, (B, N)).astype(np.int32)
+        q = np.zeros((B, 32), np.int32)
+        order = rng.integers(1, 13, B).astype(np.int32)
+        for b in range(B):
+            q[b, :order[b]] = rng.integers(-(1 << 13), 1 << 13, order[b])
+        shift = rng.integers(0, 16, B).astype(np.int32)
+        r32, o32 = dlpc.residuals(jnp.asarray(x), jnp.asarray(q),
+                                  jnp.asarray(order), jnp.asarray(shift),
+                                  max_taps=12)
+        r64, o64 = dlpc.residuals(jnp.asarray(x, dtype=np.int64),
+                                  jnp.asarray(q), jnp.asarray(order),
+                                  jnp.asarray(shift), max_taps=12)
+        assert (np.asarray(r32) == np.asarray(r64).astype(np.int32)).all()
+        assert (np.asarray(o32) == np.asarray(o64)).all()

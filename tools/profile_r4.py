@@ -66,6 +66,88 @@ def main():
         run("f64 parity B=%d" % b, batch_frames=b, analysis="f64",
             pack_budget=18, frame_pack=True)
 
+    scatter_micro(b)
+
+
+def scatter_micro(B):
+    """Micro-benchmark of the bit-packer's two-word scatter pattern:
+    the as-shipped unsorted-hint form vs a cummax-monotonized index
+    stream with indices_are_sorted=True (values at monotonized masked
+    slots are 0, so placement there is a harmless add)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import jax
+
+    N = 4096
+    W = 4736
+    out_words = B * W + 2
+    rng = np.random.default_rng(0)
+    # realistic shape: ascending end-offsets per row, ~9 bits/sample
+    lens = rng.integers(2, 16, (B, N)).astype(np.int64)
+    ends = np.cumsum(lens, axis=1) + (np.arange(B)[:, None] * W * 32)
+    vals = rng.integers(0, 1 << 16, (B, N)).astype(np.int64)
+    widths = lens
+    mask = rng.random((B, N)) > 0.05
+    ends_j = jnp.asarray(ends)
+    vals_j = jnp.asarray(vals)
+    widths_j = jnp.asarray(widths)
+    mask_j = jnp.asarray(mask)
+
+    def pattern(values, widths, end_offsets):
+        start = end_offsets - widths
+        word0 = jax.lax.shift_right_logical(start, jnp.int64(5))
+        sh = start & 31
+        pat = jax.lax.shift_left(
+            values.astype(jnp.uint64), (64 - sh - widths).astype(jnp.uint64))
+        hi = jax.lax.shift_right_logical(pat, jnp.uint64(32)).astype(
+            jnp.uint32)
+        lo = (pat & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        return word0.astype(jnp.int32), hi, lo
+
+    @jax.jit
+    def as_shipped(v):
+        w0, hi, lo = pattern(v, widths_j, ends_j)
+        hi = jnp.where(mask_j, hi, 0)
+        lo = jnp.where(mask_j, lo, 0)
+        idx = jnp.where(mask_j, w0, 0).reshape(-1)
+        out = (jnp.zeros(out_words, jnp.uint32)
+               .at[idx].add(hi.reshape(-1), mode="drop")
+               .at[idx + 1].add(lo.reshape(-1), mode="drop"))
+        return v ^ (out.sum() & 1).astype(v.dtype)
+
+    @jax.jit
+    def sorted_hint(v):
+        w0, hi, lo = pattern(v, widths_j, ends_j)
+        hi = jnp.where(mask_j, hi, 0)
+        lo = jnp.where(mask_j, lo, 0)
+        idx = jax.lax.cummax(
+            jnp.where(mask_j, w0, 0).reshape(-1))
+        out = (jnp.zeros(out_words, jnp.uint32)
+               .at[idx].add(hi.reshape(-1), mode="drop",
+                            indices_are_sorted=True)
+               .at[idx + 1].add(lo.reshape(-1), mode="drop",
+                                indices_are_sorted=True))
+        return v ^ (out.sum() & 1).astype(v.dtype)
+
+    timed2("scatter as-shipped", as_shipped, vals_j)
+    timed2("scatter sorted-hint", sorted_hint, vals_j)
+
+
+def timed2(name, step, x, reps=3, chain=4):
+    import jax.numpy as jnp
+    x = step(x)
+    float(jnp.abs(x).sum())
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            x = step(x)
+        float(jnp.abs(x).sum())
+        dt = (time.perf_counter() - t0) / chain
+        best = dt if best is None else min(best, dt)
+    print(f"{name:28s} {best*1e3:9.3f} ms", flush=True)
+    return best
+
 
 if __name__ == "__main__":
     main()

@@ -96,11 +96,26 @@ def make_audio(n_samples: int, seed: int = 0) -> np.ndarray:
 def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
                      pack_budget: int, reps: int, chain: int,
                      frame_pack: bool = True, bits_per_sample: int = 16,
-                     ) -> tuple:
-    """Honest steady-state device step rate: dependency-chained dispatch
-    with a scalar-download sync (see module methodology note).  With
+                     scan: bool = True) -> tuple:
+    """Honest steady-state device step rate: dependency-chained steps with
+    a scalar-download sync (see module methodology note).  With
     ``frame_pack`` (the production default) the step includes full-frame
-    body serialization + the CRC-16 inner product on device."""
+    body serialization + the CRC-16 inner product on device.
+
+    Two chaining forms, both forcing real execution of every step:
+    - scan=True (default): ``chain`` steps run inside ONE dispatch as a
+      device-resident ``lax.scan`` whose carry is the perturbed input, so
+      the measurement has no per-dispatch host latency in it.  This is
+      the per-chip compute rate a direct-attached production host
+      sustains; on this benchmarking host each dispatch costs ~8-35 ms
+      of tunnel round-trip that no production deployment pays.
+    - scan=False: one dispatch per step (the round-3 form), reported as
+      the tunnel-dispatch-bound rate.
+
+    The carry perturbation reduces over the ENTIRE plan blob, so XLA
+    cannot dead-code-eliminate any plan stage (a ``blob[:8]`` reduction
+    would let the slice-of-concatenate simplifier drop leaves that do
+    not feed the first bytes)."""
     N = opts.block_size
     inter = make_audio(N * batch_frames)  # returns interleaved stereo, 2x len
     pcm = inter.reshape(batch_frames, N, 2).transpose(0, 2, 1)
@@ -117,23 +132,33 @@ def device_step_mbps(opts: Options, batch_frames: int, analysis: str,
               analysis=analysis, pack_budget=pack_budget,
               frame_pack=frame_pack)
 
-    @jax.jit
-    def step(x):
+    def one(x):
         blob = encode_frames_plan_blob(x, **kw)
         # chain: the next input depends on this step's output, so no
-        # runtime layer can serve a cached result for a repeated pair
-        return x ^ (blob[:8].astype(jnp.int32).sum() & 1).astype(x.dtype)
+        # runtime layer can serve a cached result for a repeated pair;
+        # the full-blob sum keeps every plan stage live
+        return x ^ (blob.astype(jnp.int32).sum() & 1).astype(x.dtype)
+
+    if scan:
+        @jax.jit
+        def step(x):
+            return jax.lax.scan(lambda c, _: (one(c), None), x,
+                                None, length=chain)[0]
+    else:
+        step = jax.jit(one)
 
     x = jnp.asarray(pcm)
-    x = step(x)
     x = step(x)
     float(jnp.abs(x).sum())  # real fence: scalar download
     pcm_mb = batch_frames * N * 2 * bytes_per / 1e6
     best = None
     for _ in range(reps):
         t0 = time.time()
-        for _ in range(chain):
+        if scan:
             x = step(x)
+        else:
+            for _ in range(chain):
+                x = step(x)
         float(jnp.abs(x).sum())
         dt = (time.time() - t0) / chain
         best = dt if best is None else min(best, dt)
@@ -266,26 +291,32 @@ def decode_device_step_mbps(stream: bytes, opts: Options):
     args = [jnp.asarray(raw[k]) for k in ("qcoeffs", "shift", "order",
                                           "wasted", "assignment")]
 
-    @jax.jit
-    def step(buf):
+    def one(buf):
         # honest chained step: the next input depends on this output
         # (low bit perturbation keeps the Pallas gate's domain intact)
         pcm = _device_reconstruct(buf, *args, bd.block_size, mode=mode,
                                   taps=taps, limbs=limbs or 2)
         return buf ^ (pcm.sum() & 1).astype(buf.dtype)
 
+    # device-resident chain: no per-dispatch tunnel latency in the number
+    # (same rationale as the encode headline)
+    chain = 8
+
+    @jax.jit
+    def step(buf):
+        return jax.lax.scan(lambda c, _: (one(c), None), buf,
+                            None, length=chain)[0]
+
     x = jnp.asarray(raw["buf"])
-    x = step(x)
     x = step(x)
     float(jnp.abs(x).sum())
     dev_mb = B * C * N * 2 / 1e6
     dev_best = None
     for _ in range(4):
         t0 = time.perf_counter()
-        for _ in range(6):
-            x = step(x)
+        x = step(x)
         float(jnp.abs(x).sum())
-        dt = (time.perf_counter() - t0) / 6
+        dt = (time.perf_counter() - t0) / chain
         dev_best = dt if dev_best is None else min(dev_best, dt)
     bd.close()
     return dev_mb / dev_best
@@ -383,8 +414,10 @@ def main() -> None:
     threading.Thread(target=_init_watchdog, daemon=True).start()
 
     # ---- headline section: device encode step (always runs, prints first)
+    scan = os.environ.get("FLAC_TPU_BENCH_SCAN", "1") != "0"
     mbps, step_ms = device_step_mbps(opts, batch_frames, analysis,
-                                     pack_budget=18, reps=reps, chain=chain)
+                                     pack_budget=18, reps=reps, chain=chain,
+                                     scan=scan)
     headline_done.set()
     out = {
         "metric": "pcm_encode_mbps_preset8",
@@ -393,11 +426,30 @@ def main() -> None:
         "vs_baseline": round(mbps / BASELINE_MBPS, 3),
         "device_step_ms": round(step_ms, 3),
         "batch_frames": batch_frames,
-        "note": ("honest device encode step (plan+pack), dependency-"
-                 "chained with scalar-download sync; end_to_end_mbps "
-                 "includes this host's tunneled device link"),
+        "note": ("honest device encode step (plan+pack), %d dependency-"
+                 "chained steps %s, full-blob reduction, scalar-download "
+                 "sync; end_to_end_mbps includes this host's tunneled "
+                 "device link" % (chain,
+                                  "inside one device-resident lax.scan "
+                                  "dispatch" if scan else
+                                  "dispatched individually (includes this "
+                                  "host's ~8-35 ms/dispatch tunnel "
+                                  "latency)")),
     }
     emit(out)  # the headline must be captured even if a later section dies
+
+    # secondary: the per-dispatch-latency-bound form (the round-3 number's
+    # shape) for continuity with earlier rounds
+    if os.environ.get("FLAC_TPU_BENCH_DISPATCH_FORM", "1") != "0" \
+            and scan and remaining() > 120:
+        try:
+            d_mbps, d_ms = device_step_mbps(
+                opts, batch_frames, analysis, pack_budget=18, reps=2,
+                chain=max(4, chain // 2), scan=False)
+            out["dispatch_chained_mbps"] = round(d_mbps, 1)
+            out["dispatch_chained_step_ms"] = round(d_ms, 3)
+        except Exception:
+            pass
 
     # watchdog: if any later section hangs (e.g. the tunnel stalls inside a
     # blocking device call that deadline checks can't interrupt), re-emit

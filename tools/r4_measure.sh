@@ -38,7 +38,12 @@ m, ms = device_step_mbps(opts, 256, "f32", pack_budget=0, reps=2, chain=8,
 print("plan_only_mbps", round(m, 1), "ms", round(ms, 3), flush=True)
 EOF
 
-# 4. device-parse compaction timing (VERDICT r3 item 4)
+# 4. word-packing strategy shootout (scatter vs sorted-hint vs
+#    sort-segor vs one-hot MXU) at the production shape
+echo "--- pack shootout ---" >> $LOG
+timeout 900 python tools/profile_pack.py 256 >> $LOG 2>&1
+
+# 5. device-parse compaction timing (VERDICT r3 item 4)
 echo "--- compaction ---" >> $LOG
 timeout 900 python tools/profile_compaction.py >> $LOG 2>&1
 

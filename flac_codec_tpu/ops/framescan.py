@@ -470,9 +470,9 @@ def parse_frame_bodies(words: jnp.ndarray, nbits: jnp.ndarray,
     # fixed predictors use the standard coefficient rows, shift 0
     # (reference FIXED_COEFFS: src/stream.rs:1534)
     fixed_rows = jnp.zeros((5, 32), jnp.int32).at[1, 0].set(1) \
-        .at[2, :2].set(jnp.array([2, -1])) \
-        .at[3, :3].set(jnp.array([3, -3, 1])) \
-        .at[4, :4].set(jnp.array([4, -6, 4, -1]))
+        .at[2, :2].set(jnp.array([2, -1], jnp.int32)) \
+        .at[3, :3].set(jnp.array([3, -3, 1], jnp.int32)) \
+        .at[4, :4].set(jnp.array([4, -6, 4, -1], jnp.int32))
     qco = jnp.where(is_fixed[:, :, None],
                     fixed_rows[jnp.clip(order, 0, 4)], qco)
     samples = jnp.where((t6 == 0)[:, :, None], constv[:, :, None], samples)

@@ -59,6 +59,11 @@ import numpy as np
 
 import jax
 
+# the axon plugin prepends itself to jax_platforms regardless of the env
+# var; honor an explicit JAX_PLATFORMS request through the config knob
+# (no-op for the driver, which leaves the env unset)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache_dir)

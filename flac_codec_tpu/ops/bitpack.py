@@ -108,6 +108,16 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     hdr_len_per = jnp.where(kind_per == KIND_RICE, rb, rb + 5)
     extra = jnp.where(first_of_part & in_res, hdr_len_per, 0)
 
+    # partition-TABLE header lengths/values ((B, 64), partition layout):
+    # the header scatter below runs on these tiny tables, not the sample
+    # panel — only the per-sample `extra` fold above needs the fine grid
+    p_ids = jnp.arange(MAX_PARTITIONS, dtype=jnp.int32)
+    parts_chosen = jnp.int32(1) << po32
+    p_live = p_ids[None, :] < parts_chosen[:, None]        # (B, 64)
+    k_tab = params.astype(jnp.int64)
+    kind_tab = kinds.astype(jnp.int32)
+    hdr_len_tab = jnp.where(kind_tab == KIND_RICE, rb, rb + 5)
+
     # section prefix: 2 bits method + 4 bits partition order
     lens = sample_len + extra
     ends = jnp.cumsum(lens, axis=1) + 6                    # bit offset after sample i
@@ -127,15 +137,30 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
 
     # 2. partition headers: placed immediately before their first sample's
     #    code; value = rice param, or escape code + 5-bit escape size /
-    #    constant marker
+    #    constant marker.  Scattered from the (B, 64) partition TABLE, not
+    #    the (B, N) sample panel (<= 64 live headers per row): partition
+    #    p's header ends at (cumulative bits through partition p-1) +
+    #    header length, and the per-partition cumulative comes from the
+    #    sample cumsum's value at each partition's last sample — a strided
+    #    slice of the fine-cell grid, selected over the 7 static levels.
     escape_code = (jnp.int64(1) << rb[:, 0]) - 1           # (B,)
-    hdr_val_per = jnp.where(
-        kind_per == KIND_RICE, k_per,
+    cellcum = ends.reshape(B, fine_parts, sub)[:, :, -1]   # (B, 64) cum bits
+    part_endcum = jnp.zeros((B, MAX_PARTITIONS), ends.dtype)
+    for lvl in range(max_po + 1):
+        step = fine_parts >> lvl
+        lvl_end = cellcum[:, step - 1::step]               # (B, 2^lvl) static
+        lvl_end = jnp.pad(lvl_end,
+                          ((0, 0), (0, MAX_PARTITIONS - (1 << lvl))))
+        part_endcum = jnp.where(po32[:, None] == lvl, lvl_end, part_endcum)
+    prev_end = jnp.concatenate(
+        [jnp.full((B, 1), 6, ends.dtype), part_endcum[:, :-1]], axis=1)
+    hdr_end_tab = base_bits[:, None] + prev_end + hdr_len_tab
+    hdr_val_tab = jnp.where(
+        kind_tab == KIND_RICE, k_tab,
         (escape_code[:, None] << 5)
-        | jnp.where(kind_per == KIND_ESCAPE, k_per, 0))
-    hdr_mask = first_of_part & in_res & in_budget
-    hdr_end = base_bits[:, None] + ends - sample_len       # header ends where sample code begins
-    words = words + scatter(hdr_val_per, hdr_len_per, hdr_end, hdr_mask)
+        | jnp.where(kind_tab == KIND_ESCAPE, k_tab, 0))
+    hdr_mask = p_live & (prev_end + hdr_len_tab <= budget_bits)
+    words = words + scatter(hdr_val_tab, hdr_len_tab, hdr_end_tab, hdr_mask)
 
     # 2b. empty-tail partitions: a partition whose only content is its
     #     header (n == 0 impossible; constant partitions have no sample

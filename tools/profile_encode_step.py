@@ -130,6 +130,48 @@ def main():
           lambda v: lpc.residuals(v, lp["qcoeffs"], lp["order"],
                                   lp["shift"], max_taps=MAX_LPC)[0], c0)
 
+    # ---- packing stages (round 4: the full-blob fence exposed these) ----
+    from flac_codec_tpu.ops.bitpack import pack_residual_sections
+    from flac_codec_tpu.ops.encode_batch import _encode_frames_plan_impl
+    from flac_codec_tpu.ops.framepack import (crc16_inner,
+                                              crc16_neg_pow_table,
+                                              frame_slot_words,
+                                              pack_frame_bodies)
+
+    kwp = dict(bits_per_sample=BPS, block_size=N, max_lpc_order=MAX_LPC,
+               max_partition_order=MAX_PO, mid_side=True, exhaustive=True,
+               analysis="f32")
+    plan = jax.jit(partial(_encode_frames_plan_impl, **kwp))(x)
+    ch = plan["channels"][0]
+    budget = 18
+    per_sub_words = (budget * N + 31) // 32 + 2
+    out_words = B * 2 * per_sub_words + 2
+    base_bits = (jnp.arange(B) * 2 * per_sub_words).astype(jnp.int64) * 32
+    order32 = ch["order"].astype(jnp.int32)
+    po32 = ch["po"].astype(jnp.int32)
+    rb32 = ch["rice_bits"].astype(jnp.int32)
+    timed("pack_residual_sections (x2 in plan)",
+          lambda v: pack_residual_sections(
+              v.astype(jnp.int64), order32, po32, ch["kinds"], ch["params"],
+              rb32, N, out_words, base_bits, budget * N)[0],
+          ch["residuals"])
+
+    def fp(v):
+        p2 = {"assignment": plan["assignment"],
+              "channels": [dict(plan["channels"][0]),
+                           dict(plan["channels"][1])]}
+        p2["channels"][0] = dict(p2["channels"][0], residuals=v)
+        return pack_frame_bodies(p2, N, BPS, budget)["frame_words"]
+
+    timed("pack_frame_bodies (full)", fp, ch["residuals"])
+
+    W = frame_slot_words(2, N, budget)
+    rng = np.random.default_rng(1)
+    words_r = jnp.asarray(
+        rng.integers(0, 1 << 32, (B, W), dtype=np.uint64).astype(np.uint32))
+    tab = crc16_neg_pow_table(W * 32)
+    timed("crc16_inner", lambda v: crc16_inner(v, tab), words_r)
+
 
 if __name__ == "__main__":
     main()

@@ -54,7 +54,9 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
                            po: jnp.ndarray, kinds: jnp.ndarray,
                            params: jnp.ndarray, rice_bits: jnp.ndarray,
                            block_size: int, out_words: int,
-                           base_bits: jnp.ndarray, budget_bits: int):
+                           base_bits: jnp.ndarray, budget_bits: int,
+                           live=None, samples: str = "scatter",
+                           panel_words: int = 0):
     """Pack one slot's residual sections for the whole batch.
 
     res: (B, N) int64 residuals at positions >= order.
@@ -64,9 +66,18 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     budget_bits: per-subframe section capacity; bits past it are dropped
         (the caller detects overflow via the returned bit length and falls
         back to host encoding for that frame).
+    live: optional (B,) bool — rows whose writes are suppressed entirely
+        (constant/verbatim slots).  None means all rows live.
+    samples: "scatter" (two-word scatter-add per symbol) or "panel"
+        (chunked one-hot MXU + Pallas merge, see ops.packpanel) — the
+        panel strategy requires ``panel_words`` (the per-row panel size P;
+        rows must be laid out at P-word strides, i.e. base_bits - the
+        residual section's in-panel offset must be b * P * 32).
 
-    Returns (words (out_words,) uint32, bit_len (B,)) — ``words`` must be
-    summed (scatter-add) with other slots' buffers by the caller.
+    Returns (words (out_words,) uint32, bit_len (B,), pack_ovf) —
+    ``words`` must be summed with other slots' buffers by the caller;
+    ``pack_ovf`` (B,) flags rows whose symbols exceeded a one-hot chunk
+    window (panel strategy only; those frames must fall back to host).
     """
     B, N = res.shape
     pos = jnp.arange(N)
@@ -126,6 +137,7 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     base_bits = base_bits.astype(jnp.int64)
     words = jnp.zeros(out_words, jnp.uint32)
     scatter = make_scatter(out_words)
+    live_b = jnp.ones(B, bool) if live is None else live
 
     in_budget = ends <= budget_bits  # (B, N) per-sample budget guard
 
@@ -133,7 +145,7 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     prefix_val = (jnp.where(rice_bits == 4, 0, 1).astype(jnp.int64) << 4) \
         | po.astype(jnp.int64)
     words = words + scatter(prefix_val, jnp.full(B, 6, jnp.int64),
-                            base_bits + 6, jnp.ones(B, bool))
+                            base_bits + 6, live_b)
 
     # 2. partition headers: placed immediately before their first sample's
     #    code; value = rice param, or escape code + 5-bit escape size /
@@ -159,7 +171,8 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
         kind_tab == KIND_RICE, k_tab,
         (escape_code[:, None] << 5)
         | jnp.where(kind_tab == KIND_ESCAPE, k_tab, 0))
-    hdr_mask = p_live & (prev_end + hdr_len_tab <= budget_bits)
+    hdr_mask = live_b[:, None] & p_live & \
+        (prev_end + hdr_len_tab <= budget_bits)
     words = words + scatter(hdr_val_tab, hdr_len_tab, hdr_end_tab, hdr_mask)
 
     # 2b. empty-tail partitions: a partition whose only content is its
@@ -175,7 +188,30 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     esc_val = res & jnp.where(k_per > 0, esc_mask, 0)
     val = jnp.where(kind_per == KIND_RICE, rice_val, esc_val)
     width = jnp.where(kind_per == KIND_RICE, k_per + 1, k_per)
-    mask = in_res & (kind_per != KIND_CONSTANT) & in_budget
-    words = words + scatter(val, width, base_bits[:, None] + ends, mask)
+    mask = live_b[:, None] & in_res & (kind_per != KIND_CONSTANT) & in_budget
+    pack_ovf = jnp.zeros(B, bool)
+    if samples == "panel":
+        # chunked one-hot MXU + Pallas merge (ops.packpanel): rows are
+        # laid out at panel_words strides, so the merged (B, P) panel IS
+        # the flat buffer's row-major content
+        from .packpanel import CHUNK_T, chunk_panels, merge_panels
 
-    return words, bit_len
+        P = panel_words
+        assert P > 0 and out_words >= B * P, (out_words, B, P)
+        row_base = base_bits - jnp.arange(B, dtype=jnp.int64) * (P * 32)
+        v_p, w_p, e_p, m_p = val, width, row_base[:, None] + ends, mask
+        tail = (-N) % CHUNK_T
+        if tail:  # block sizes not divisible by the chunk width
+            v_p = jnp.pad(v_p, ((0, 0), (0, tail)))
+            w_p = jnp.pad(w_p, ((0, 0), (0, tail)), constant_values=1)
+            e_p = jnp.pad(e_p, ((0, 0), (0, tail)), mode="edge")
+            m_p = jnp.pad(m_p, ((0, 0), (0, tail)))
+        panels, offs, pack_ovf = chunk_panels(v_p, w_p, e_p, m_p)
+        merged = merge_panels(panels, offs, P)
+        flat = jnp.concatenate(
+            [merged.reshape(-1), jnp.zeros(out_words - B * P, jnp.uint32)])
+        words = words + flat
+    else:
+        words = words + scatter(val, width, base_bits[:, None] + ends, mask)
+
+    return words, bit_len, pack_ovf

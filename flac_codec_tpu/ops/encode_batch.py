@@ -183,33 +183,49 @@ def _gather_plans(plans, src):
 
 def _pack_plan_channels(plan: dict, block_size: int, budget_bits: int):
     """Pack each output channel's residual section on device and drop the
-    raw residual arrays from the plan (device-side bit packing)."""
+    raw residual arrays from the plan (device-side bit packing).
+
+    Sections are laid out at per-subframe word-aligned slots; with the
+    panel strategy (default, see ops.packpanel) the slot stride includes
+    the merge kernel's aligned-window slack."""
     from .bitpack import pack_residual_sections
+    from .packpanel import CHUNK_R, samples_strategy
 
     channels = plan["channels"]
     S = len(channels)
     B = plan["assignment"].shape[0]
+    strategy = samples_strategy()
     per_sub_words = (budget_bits * block_size + 31) // 32 + 2
-    out_words = B * S * per_sub_words + 2
+    if strategy == "panel":
+        per_sub_words = (per_sub_words + 2 * CHUNK_R + 127) // 128 * 128
 
-    words = jnp.zeros(out_words, jnp.uint32)
+    # per-slot packing: slot s's rows live at per_sub_words strides in
+    # their own (B * per_sub_words) region, concatenated slot-major so
+    # the host layout (row = b * S + s) is preserved
+    slot_words = []
+    ovf_any = jnp.zeros(B, bool)
     for s, ch in enumerate(channels):
-        base_bits = ((jnp.arange(B) * S + s) * per_sub_words).astype(
-            jnp.int64) * 32
-        w, bits = pack_residual_sections(
+        base_bits = (jnp.arange(B) * per_sub_words).astype(jnp.int64) * 32
+        is_pred = (ch["sub_type"] == TYPE_FIXED) | (ch["sub_type"] == TYPE_LPC)
+        w, bits, pack_ovf = pack_residual_sections(
             ch["residuals"].astype(jnp.int64), ch["order"].astype(jnp.int32),
             ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
-            ch["rice_bits"].astype(jnp.int32), block_size, out_words,
-            base_bits, budget_bits * block_size)
-        words = words + w
+            ch["rice_bits"].astype(jnp.int32), block_size,
+            B * per_sub_words + 2, base_bits, budget_bits * block_size,
+            live=is_pred, samples=strategy, panel_words=per_sub_words)
+        slot_words.append(w[:B * per_sub_words].reshape(B, per_sub_words))
+        ovf_any = ovf_any | pack_ovf
         # only FIXED/LPC subframes have a residual section; constant and
         # verbatim slots carry garbage residual arrays whose pseudo bit
         # length must not trigger the host overflow fallback
-        is_pred = (ch["sub_type"] == TYPE_FIXED) | (ch["sub_type"] == TYPE_LPC)
         ch["res_bits"] = jnp.where(is_pred, bits, 0).astype(bits.dtype)
-        ch["res_overflow"] = is_pred & (bits > budget_bits * block_size)
+        ch["res_overflow"] = (is_pred & (bits > budget_bits * block_size)) \
+            | ovf_any
         del ch["residuals"]
-    plan["packed_words"] = words
+    # interleave to the host's row order (b * S + s)
+    words = jnp.stack(slot_words, axis=1).reshape(-1)
+    plan["packed_words"] = jnp.concatenate(
+        [words, jnp.zeros(2, jnp.uint32)])
     plan["packed_meta"] = jnp.array([S, per_sub_words], jnp.int32)
     return plan
 

@@ -76,12 +76,24 @@ def crc16_inner(words: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
 # Frame body packer
 # ---------------------------------------------------------------------------
 
-def frame_slot_words(S: int, block_size: int, budget_bits: int) -> int:
-    """Words per frame slot: S residual budgets + per-subframe field margin
-    (header 8 + wasted unary <=32 + warm-ups <=32*32 + LPC params <=9+32*15
-    < 64 words) + scatter window slack."""
+def subframe_panel_words(block_size: int, budget_bits: int) -> int:
+    """Words per subframe panel (P): field margin (header 8 + wasted unary
+    <=32 + warm-ups <=32*32 + LPC params <=9+32*15 < 1615 bits = 51 words)
+    + the residual budget + the merge kernel's aligned-window slack
+    (2*CHUNK_R), rounded to a lane tile."""
+    from .packpanel import CHUNK_R
+
     per_sub = (budget_bits * block_size + 31) // 32
-    return S * (per_sub + 64) + 2
+    need = per_sub + 52 + 2 * CHUNK_R
+    return (need + 127) // 128 * 128
+
+
+def frame_slot_words(S: int, block_size: int, budget_bits: int) -> int:
+    """Words per frame slot: room for S spliced subframe panels, the last
+    one placed via the splice kernel's aligned (P+128)-wide window."""
+    per_sub = (budget_bits * block_size + 31) // 32
+    P = subframe_panel_words(block_size, budget_bits)
+    return (S - 1) * (per_sub + 64) + P + 192
 
 
 def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
@@ -102,14 +114,17 @@ def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
     planner is the exact serialized subframe length, which makes every
     field offset computable before any packing happens.
     """
+    from .packpanel import samples_strategy, splice_subframes
+
     channels = plan["channels"]
     S = len(channels)
     B = plan["assignment"].shape[0]
     N = block_size
+    P = subframe_panel_words(block_size, budget_bits)
     W = frame_slot_words(S, block_size, budget_bits)
-    out_words = B * W + 2
-    scatter = make_scatter(out_words)
-    ones = jnp.ones(B, bool)
+    panel_out = B * P + 2
+    scatter = make_scatter(panel_out)
+    strategy = samples_strategy()
 
     # per-slot bits-per-sample (side channels carry one extra bit)
     a = plan["assignment"].astype(jnp.int32)
@@ -117,7 +132,7 @@ def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
         side = [(a == 0b1001), (a == 0b1000) | (a == 0b1010)]
     else:
         side = [jnp.zeros(B, bool)] * S
-    frame_base = (jnp.arange(B, dtype=jnp.int64) * W) * 32
+    row_base = (jnp.arange(B, dtype=jnp.int64) * P) * 32
 
     sub_bits = [ch["subframe_bits"].astype(jnp.int64) for ch in channels]
     body_bits = sum(sub_bits)
@@ -128,8 +143,7 @@ def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
     fallback = fallback | (body_bits > (W - 2) * 32)
     ok = ~fallback
 
-    words = jnp.zeros(out_words, jnp.uint32)
-    off = jnp.zeros(B, jnp.int64)
+    panels = []
     for s, ch in enumerate(channels):
         bps_s = bps_base + side[s].astype(jnp.int32)
         typ = ch["sub_type"].astype(jnp.int32)
@@ -141,7 +155,11 @@ def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
         is_lpc = typ == TYPE_LPC
         has_wasted = (typ != TYPE_CONSTANT) & (wasted > 0)
 
-        base = frame_base + off  # (B,) absolute slot bit offset
+        # each subframe is packed into its own word-aligned P-word panel
+        # (bit 0 of the subframe = panel word 0 bit 31); the splice kernel
+        # below bit-concatenates the S panels into the frame slot
+        words = jnp.zeros(panel_out, jnp.uint32)
+        base = row_base  # (B,) panel-aligned bit offset
 
         # 1. subframe header byte: pad(1) + type code(6) + wasted flag(1)
         code6 = jnp.where(
@@ -194,27 +212,31 @@ def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
         pre_res = jnp.where(is_lpc, warm_end + 9 + order * precision,
                             warm_end)
 
-        # 6. residual section (Rice partitions) via the shared packer;
-        #    suppressed for non-predictive or fallback slots by pointing
-        #    their base past the buffer (mode="drop" discards the writes)
-        res_base = jnp.where(ok & is_pred, pre_res,
-                             jnp.int64(out_words) * 32 + 64)
-        w, bits = pack_residual_sections(
+        # 6. residual section (Rice partitions) via the shared packer
+        w, bits, pack_ovf = pack_residual_sections(
             ch["residuals"].astype(jnp.int64), order.astype(jnp.int32),
             ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
-            ch["rice_bits"].astype(jnp.int32), block_size, out_words,
-            res_base, budget_bits * block_size)
+            ch["rice_bits"].astype(jnp.int32), block_size, panel_out,
+            pre_res, budget_bits * block_size, live=ok & is_pred,
+            samples=strategy, panel_words=P)
         words = words + w
         ch["res_bits"] = jnp.where(is_pred, bits, 0).astype(bits.dtype)
         ch["res_overflow"] = is_pred & (bits > budget_bits * block_size)
-        fallback = fallback | ch["res_overflow"]
+        fallback = fallback | ch["res_overflow"] | pack_ovf
         del ch["residuals"]
+        panels.append(words[:B * P].reshape(B, P))
 
-        off = off + sub_bits[s]
+    # splice the S panels into per-frame slots at their exact bit offsets
+    offs = jnp.zeros(B, jnp.int64)
+    bit_offs = []
+    for s in range(S):
+        bit_offs.append(offs)
+        offs = offs + sub_bits[s]
+    bit_off_arr = jnp.stack(bit_offs, axis=1).astype(jnp.int32)
+    slots = splice_subframes(jnp.stack(panels, axis=1), bit_off_arr, W)
 
-    plan["frame_words"] = words[:B * W]
+    plan["frame_words"] = slots.reshape(-1)
     plan["body_bits"] = body_bits
-    plan["inner_crc"] = crc16_inner(words[:B * W].reshape(B, W),
-                                    crc16_neg_pow_table(W * 32))
+    plan["inner_crc"] = crc16_inner(slots, crc16_neg_pow_table(W * 32))
     plan["frame_fallback"] = fallback
     return plan

@@ -1,0 +1,337 @@
+"""Scatter-free device bit packing: one-hot MXU chunks + Pallas merge/splice.
+
+Round-4 redesign of the Rice-symbol word packer (the TPU re-expression of
+the reference's record-then-playback bit serialization,
+reference: src/encode.rs:3747-3962, 2259-2439).  The round-3 packer
+combined per-symbol two-word emissions with XLA flat scatter-adds, which
+the honest full-blob fence measured at ~44.5 ms per 2.1M symbols on v5e —
+~90% of the whole encode step.  The round-4 shootout
+(tools/profile_pack.py) measured the chunked one-hot einsum at 9.6 ms for
+the same work, and the remaining ragged placement is two tiny Pallas
+kernels doing dynamic-slice adds in VMEM:
+
+1. ``chunk_panels``  (XLA, MXU): symbols are split into static chunks of
+   T=128 per subframe row.  Within a chunk, each symbol's write window
+   starts at a word offset local to the chunk's first write word; the
+   worst legal span is guarded (overflowing rows fall back to host
+   encoding).  A (T, R=128) one-hot einsum in two 16-bit halves places
+   every symbol's hi/lo word contribution into the chunk's R-word panel —
+   bit fields are disjoint, so f32 accumulation is exact (each 16-bit
+   half sums to <= 0xFFFF).
+
+2. ``merge_panels``  (Pallas): per subframe row, the 32 chunk panels are
+   added into the row's word-aligned output panel at their chunk word
+   offsets — one dynamic-slice add per chunk, all resident in VMEM.
+   Adjacent chunks share exactly one boundary word; disjoint bit fields
+   make the add an OR.
+
+3. ``splice_subframes``  (Pallas): frame bodies are the bit-concatenation
+   of their subframe panels.  Each subframe's bit length is known exactly
+   from the planner, so the splice is a per-row funnel shift by
+   (offset mod 32) plus one dynamic-slice add at (offset / 32) — again
+   VMEM-resident, no scatter.
+
+CPU (tests / virtual meshes) runs the same kernels in interpret mode.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK_T = 128   # symbols per one-hot chunk
+CHUNK_R = 128   # words per chunk window (covers spans <= R-2 = 126 words)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def samples_strategy() -> str:
+    """Which residual-sample packing strategy the planner should trace.
+
+    "panel" (default): chunked one-hot MXU + Pallas merge — measured 4.7x
+    faster than the flat scatter on v5e at the preset -8 shape.
+    FLAC_TPU_PACK_SCATTER=1 forces the round-3 scatter-add path.
+    """
+    return "scatter" if os.environ.get("FLAC_TPU_PACK_SCATTER") == "1" \
+        else "panel"
+
+
+# ---------------------------------------------------------------------------
+# 1. chunked one-hot panels (XLA / MXU)
+# ---------------------------------------------------------------------------
+
+def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
+                 ends: jnp.ndarray, mask: jnp.ndarray):
+    """Per-chunk one-hot word panels for one batch of subframe rows.
+
+    values/widths/ends/mask: (rows, N); ``ends`` are PANEL-LOCAL bit
+    offsets (bit 0 = panel word 0 bit 31, MSB-first), ``values`` hold the
+    symbol's low ``widths`` bits (leading unary zeros are implicit).
+
+    Returns (panels (rows, C, R) uint32, offs (rows, C) int32 chunk word
+    offsets, overflow (rows,) bool).  Chunks whose written span exceeds
+    R-2 words lose bits (masked by the one-hot window) and flag their row.
+    """
+    rows, N = ends.shape
+    assert N % CHUNK_T == 0, N
+    C = N // CHUNK_T
+
+    start = ends - widths
+    word0 = jax.lax.shift_right_logical(start, jnp.int64(5)).astype(jnp.int32)
+    sh = (start & 31).astype(jnp.int64)
+    pattern = jax.lax.shift_left(
+        values.astype(jnp.uint64), (64 - sh - widths).astype(jnp.uint64))
+    hi = jax.lax.shift_right_logical(pattern, jnp.uint64(32)).astype(jnp.uint32)
+    lo = (pattern & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = jnp.where(mask, hi, 0)
+    lo = jnp.where(mask, lo, 0)
+
+    w0c = word0.reshape(rows * C, CHUNK_T)
+    m = mask.reshape(rows * C, CHUNK_T)
+    # chunk offset = first LIVE symbol's write word (dead symbols carry
+    # arbitrary word0); rows with no live symbol produce a zero panel
+    big = jnp.int32(1 << 30)
+    offs = jnp.min(jnp.where(m, w0c, big), axis=1)
+    offs = jnp.where(offs == big, 0, offs)
+    local = w0c - offs[:, None]
+    local = jnp.where(m, local, -2)  # no one-hot match for hi or lo
+    span = jnp.max(jnp.where(m, local, 0), axis=1)
+    overflow = (span > CHUNK_R - 2).reshape(rows, C).any(axis=1)
+
+    hic = hi.reshape(rows * C, CHUNK_T)
+    loc = lo.reshape(rows * C, CHUNK_T)
+    r_ids = jnp.arange(CHUNK_R, dtype=jnp.int32)
+    oh0 = (local[:, :, None] == r_ids[None, None, :])
+    oh1 = (local[:, :, None] + 1 == r_ids[None, None, :])
+
+    def mm(c, oh):
+        lo16 = (c & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        hi16 = jax.lax.shift_right_logical(c, jnp.uint32(16)).astype(
+            jnp.float32)
+        ohf = oh.astype(jnp.float32)
+        a = jnp.einsum("ct,ctr->cr", lo16, ohf,
+                       preferred_element_type=jnp.float32)
+        b = jnp.einsum("ct,ctr->cr", hi16, ohf,
+                       preferred_element_type=jnp.float32)
+        return a.astype(jnp.uint32) + (b.astype(jnp.uint32) << 16)
+
+    panels = mm(hic, oh0) + mm(loc, oh1)
+    return (panels.reshape(rows, C, CHUNK_R),
+            offs.reshape(rows, C), overflow)
+
+
+# ---------------------------------------------------------------------------
+# 2. Pallas merge: chunk panels -> per-row word panel
+# ---------------------------------------------------------------------------
+
+_RB = 8  # rows per program (VMEM sublane tile)
+
+
+def _merge_kernel(C: int, P: int):
+    def kernel(offs_ref, panels_ref, out_ref):
+        # Mosaic requires dynamic lane indices provably 128-aligned, so
+        # each chunk window lands via an aligned 2R-wide slice: the window
+        # is zero-padded to 2R, lane-rotated by (off mod 128), and added
+        # at the 128-aligned base (tpu.dynamic_rotate handles the rest).
+        g = pl.program_id(0)
+        out_ref[...] = jnp.zeros_like(out_ref)
+        zpad = jnp.zeros((1, CHUNK_R), jnp.uint32)
+
+        def row(r, _):
+            def chunk(c, _):
+                off = offs_ref[g * _RB + r, c]
+                a0 = off & ~jnp.int32(127)
+                d = off - a0
+                win = panels_ref[r, c, :].reshape(1, CHUNK_R)
+                padded = jnp.concatenate([win, zpad], axis=1)
+                rolled = pltpu.roll(padded, d, axis=1)
+                a0 = pl.multiple_of(a0, 128)
+                cur = out_ref[pl.ds(r, 1), pl.ds(a0, 2 * CHUNK_R)]
+                out_ref[pl.ds(r, 1), pl.ds(a0, 2 * CHUNK_R)] = cur + rolled
+                return jnp.int32(0)
+
+            return jax.lax.fori_loop(jnp.int32(0), jnp.int32(C), chunk,
+                                     jnp.int32(0))
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(_RB), row, jnp.int32(0))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("P", "interpret"))
+def merge_panels(panels: jnp.ndarray, offs: jnp.ndarray, P: int,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """(rows, C, R) chunk panels + (rows, C) word offsets -> (rows, P).
+
+    Every chunk's R-word window must satisfy off + R <= P (the caller
+    sizes P with a CHUNK_R slack past the largest in-budget offset).
+    """
+    rows, C, R = panels.shape
+    assert R == CHUNK_R
+    if interpret is None:
+        interpret = _use_interpret()
+    # invalid (overflowing / fallback) rows may carry junk offsets; clamp
+    # so the aligned 2R-wide dynamic-slice add can never leave the row's
+    # own panel (the caller sizes P with a 2*CHUNK_R slack)
+    assert P >= 2 * CHUNK_R, P
+    offs = jnp.clip(offs, 0, P - 2 * CHUNK_R).astype(jnp.int32)
+    pad = (-rows) % _RB
+    if pad:
+        panels = jnp.pad(panels, ((0, pad), (0, 0), (0, 0)))
+        offs = jnp.pad(offs, ((0, pad), (0, 0)))
+    rp = rows + pad
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rp // _RB,),
+        in_specs=[
+            pl.BlockSpec((_RB, C, R), lambda g, offs_ref: (g, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_RB, P), lambda g, offs_ref: (g, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _merge_kernel(C, P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rp, P), jnp.uint32),
+        interpret=interpret,
+    )(offs, panels)
+    return out[:rows] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# 3. Pallas splice: subframe panels -> frame slots
+# ---------------------------------------------------------------------------
+
+def _splice_kernel(S: int, P: int, W: int):
+    def kernel(offs_ref, panels_ref, out_ref):
+        g = pl.program_id(0)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        def row(b, _):
+            def sub(s, _):
+                return body(b, s)
+
+            return jax.lax.fori_loop(jnp.int32(0), jnp.int32(S), sub,
+                                     jnp.int32(0))
+
+        def body(b, s):
+            bit_off = offs_ref[g * _RB + b, s]
+            word_off = jax.lax.shift_right_logical(bit_off, jnp.int32(5))
+            sh = (bit_off & 31).astype(jnp.uint32)
+            p = panels_ref[b, s, :].reshape(1, P)
+            # funnel shift right by sh with the previous word's low bits
+            # (shl amount masked to 31 so the sh == 0 branch, though
+            # discarded by the where, never shifts by 32)
+            shl = (jnp.uint32(32) - sh) & jnp.uint32(31)
+            prev = jnp.concatenate(
+                [jnp.zeros((1, 1), jnp.uint32), p[:, :-1]], axis=1)
+            shifted = jnp.where(sh == 0, p, (p >> sh) | (prev << shl))
+            # the shifted-out low bits of the last word land one word on
+            # (the P+1'th); fold them into the zero pad before the rotate
+            last = jnp.where(sh == 0, jnp.uint32(0), p[:, -1:] << shl)
+            padded = jnp.concatenate(
+                [shifted, last,
+                 jnp.zeros((1, 127), jnp.uint32)], axis=1)  # (1, P+128)
+            # aligned dynamic-slice add (Mosaic needs lane indices that
+            # are provably multiples of 128): rotate by word_off mod 128,
+            # add at the aligned base
+            a0 = word_off & ~jnp.int32(127)
+            d = word_off - a0
+            rolled = pltpu.roll(padded, d, axis=1)
+            a0 = pl.multiple_of(a0, 128)
+            cur = out_ref[pl.ds(b, 1), pl.ds(a0, P + 128)]
+            out_ref[pl.ds(b, 1), pl.ds(a0, P + 128)] = cur + rolled
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(_RB), row, jnp.int32(0))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("W", "interpret"))
+def splice_subframes(panels: jnp.ndarray, bit_offs: jnp.ndarray, W: int,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """(B, S, P) subframe panels + (B, S) body bit offsets -> (B, W) slots.
+
+    Requires max(bit_offs)/32 + P + 1 <= W (caller sizes W accordingly).
+    """
+    B, S, P = panels.shape
+    if interpret is None:
+        interpret = _use_interpret()
+    # fallback frames (e.g. verbatim) can report body offsets past the
+    # slot; clamp so the aligned (P+128)-wide dynamic-slice add stays
+    # inside the row's slot.  The rotate needs a vreg-aligned width.
+    assert P % 128 == 0 and W >= P + 128, (P, W)
+    bit_offs = jnp.clip(bit_offs, 0, (W - P - 128) * 32).astype(jnp.int32)
+    pad = (-B) % _RB
+    if pad:
+        panels = jnp.pad(panels, ((0, pad), (0, 0), (0, 0)))
+        bit_offs = jnp.pad(bit_offs, ((0, pad), (0, 0)))
+    bp = B + pad
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bp // _RB,),
+        in_specs=[
+            pl.BlockSpec((_RB, S, P), lambda g, offs_ref: (g, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_RB, W), lambda g, offs_ref: (g, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _splice_kernel(S, P, W),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, W), jnp.uint32),
+        interpret=interpret,
+    )(bit_offs, panels)
+    return out[:B] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# reference (host/test) implementations
+# ---------------------------------------------------------------------------
+
+def merge_panels_ref(panels, offs, P):
+    """NumPy reference for :func:`merge_panels` (tests)."""
+    panels = np.asarray(panels)
+    offs = np.asarray(offs)
+    rows, C, R = panels.shape
+    out = np.zeros((rows, P), np.uint32)
+    for r in range(rows):
+        for c in range(C):
+            o = offs[r, c]
+            out[r, o:o + R] += panels[r, c]
+    return out
+
+
+def splice_subframes_ref(panels, bit_offs, W):
+    """NumPy reference for :func:`splice_subframes` (tests)."""
+    panels = np.asarray(panels)
+    bit_offs = np.asarray(bit_offs)
+    B, S, P = panels.shape
+    out = np.zeros((B, W), np.uint32)
+    for b in range(B):
+        for s in range(S):
+            off = int(bit_offs[b, s])
+            wo, sh = off >> 5, off & 31
+            p = panels[b, s].astype(np.uint64)
+            if sh == 0:
+                out[b, wo:wo + P] += p.astype(np.uint32)
+            else:
+                prev = np.concatenate([[np.uint64(0)], p[:-1]])
+                shifted = (p >> np.uint64(sh)) | (
+                    (prev << np.uint64(32 - sh)) & np.uint64(0xFFFFFFFF))
+                out[b, wo:wo + P] += shifted.astype(np.uint32)
+                out[b, wo + P] += np.uint32(
+                    (int(p[-1]) << (32 - sh)) & 0xFFFFFFFF)
+    return out

@@ -147,7 +147,7 @@ def main():
             per_sub_words = (18 * N + 31) // 32 + 2
             out_words = B * 2 * per_sub_words + 2
             base = (jnp.arange(B) * 2) * per_sub_words
-            w, bits = pack_residual_sections(
+            w, bits, _ = pack_residual_sections(
                 res, order, pl["po"], pl["kinds"], pl["params"],
                 jnp.full(B, 4, jnp.int32), N, out_words, base, 18 * N)
             return w.sum() + bits.sum()

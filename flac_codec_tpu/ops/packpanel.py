@@ -85,13 +85,20 @@ def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
     assert N % CHUNK_T == 0, N
     C = N // CHUNK_T
 
-    start = ends - widths
-    word0 = jax.lax.shift_right_logical(start, jnp.int64(5)).astype(jnp.int32)
-    sh = (start & 31).astype(jnp.int64)
-    pattern = jax.lax.shift_left(
-        values.astype(jnp.uint64), (64 - sh - widths).astype(jnp.uint64))
-    hi = jax.lax.shift_right_logical(pattern, jnp.uint64(32)).astype(jnp.uint32)
-    lo = (pattern & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    # all-int32 geometry (panel-local offsets fit int32; values fit
+    # uint32: rice <= 31 value bits + stop, escape <= 31 bits) — avoids
+    # TPU int64 emulation on every (rows, N) pass
+    ends32 = ends.astype(jnp.int32)
+    w32 = widths.astype(jnp.int32)
+    start = ends32 - w32
+    word0 = jax.lax.shift_right_logical(start, jnp.int32(5))
+    sh = start & 31
+    v32 = values.astype(jnp.uint32)
+    e = (sh + w32).astype(jnp.uint32)  # pattern end bit in the 64-window
+    hi = jnp.where(e <= 32,
+                   v32 << ((jnp.uint32(32) - e) & 31),
+                   v32 >> ((e - 32) & 31))
+    lo = jnp.where(e <= 32, jnp.uint32(0), v32 << ((jnp.uint32(64) - e) & 31))
     hi = jnp.where(mask, hi, 0)
     lo = jnp.where(mask, lo, 0)
 
@@ -110,21 +117,32 @@ def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
     hic = hi.reshape(rows * C, CHUNK_T)
     loc = lo.reshape(rows * C, CHUNK_T)
     r_ids = jnp.arange(CHUNK_R, dtype=jnp.int32)
-    oh0 = (local[:, :, None] == r_ids[None, None, :])
-    oh1 = (local[:, :, None] + 1 == r_ids[None, None, :])
+    # ONE one-hot for all four 16-bit value planes: the lo word lands at
+    # local+1, which is the hi placement shifted one column — a static
+    # column roll of the matmul result, so oh1 never materializes
+    oh = (local[:, :, None] == r_ids[None, None, :]).astype(jnp.float32)
 
-    def mm(c, oh):
-        lo16 = (c & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        hi16 = jax.lax.shift_right_logical(c, jnp.uint32(16)).astype(
-            jnp.float32)
-        ohf = oh.astype(jnp.float32)
-        a = jnp.einsum("ct,ctr->cr", lo16, ohf,
-                       preferred_element_type=jnp.float32)
-        b = jnp.einsum("ct,ctr->cr", hi16, ohf,
-                       preferred_element_type=jnp.float32)
-        return a.astype(jnp.uint32) + (b.astype(jnp.uint32) << 16)
+    def halves(c):
+        return ((c & jnp.uint32(0xFFFF)).astype(jnp.float32),
+                jax.lax.shift_right_logical(c, jnp.uint32(16)).astype(
+                    jnp.float32))
 
-    panels = mm(hic, oh0) + mm(loc, oh1)
+    hi_lo, hi_hi = halves(hic)
+    lo_lo, lo_hi = halves(loc)
+    planes = jnp.stack([hi_lo, hi_hi, lo_lo, lo_hi])  # (4, CT, T)
+    # HIGHEST: the batched form lowers to real MXU matmuls, whose default
+    # bf16 passes truncate the 16-bit halves (measured: low-bit errors);
+    # the bf16x6 decomposition reproduces exact f32 sums (all partial
+    # sums here are integers <= 0xFFFF, disjoint bit fields)
+    out4 = jnp.einsum("vct,ctr->vcr", planes, oh,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    hi_w = out4[0].astype(jnp.uint32) + (out4[1].astype(jnp.uint32) << 16)
+    lo_w = out4[2].astype(jnp.uint32) + (out4[3].astype(jnp.uint32) << 16)
+    # place lo at local+1: shift columns right by one (window slot R-1
+    # would spill; chunks needing it exceed span R-2 and are flagged)
+    panels = hi_w + jnp.concatenate(
+        [jnp.zeros((rows * C, 1), jnp.uint32), lo_w[:, :-1]], axis=1)
     return (panels.reshape(rows, C, CHUNK_R),
             offs.reshape(rows, C), overflow)
 

@@ -305,7 +305,7 @@ def decode_device_step_mbps(stream: bytes, opts: Options):
 
     # device-resident chain: no per-dispatch tunnel latency in the number
     # (same rationale as the encode headline)
-    chain = 8
+    chain = 32
 
     @jax.jit
     def step(buf):
@@ -394,7 +394,7 @@ def main() -> None:
     batch_frames = int(os.environ.get("FLAC_TPU_BENCH_BATCH", "256"))
     analysis = os.environ.get("FLAC_TPU_BENCH_ANALYSIS", "f32")
     reps = int(os.environ.get("FLAC_TPU_BENCH_REPS", "3"))
-    chain = int(os.environ.get("FLAC_TPU_BENCH_CHAIN", "16"))
+    chain = int(os.environ.get("FLAC_TPU_BENCH_CHAIN", "48"))
 
     # pre-init watchdog: device init through the tunnel can hang
     # indefinitely (observed 2026-08-18: jax.devices() never returns while

@@ -58,18 +58,31 @@ def crc16_neg_pow_table(nbits: int) -> np.ndarray:
 def crc16_inner(words: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
     """(B, W) uint32 slot words -> (B,) uint16 GF(2) inner product.
 
-    ``table`` is crc16_neg_pow_table(W*32) reshaped so that entry (w, j)
-    weights bit j (MSB-first) of word w.
-    """
+    ``table`` is crc16_neg_pow_table(W*32); entry (w, j) weights bit j
+    (MSB-first) of word w.
+
+    MXU formulation: GF(2) inner product = parity of the per-CRC-bit
+    match counts, count[b, r] = sum_p bit[b, p] * weight_bit[p, r] — one
+    int8 matmul with exact int32 accumulation, then ``& 1``.  Replaces
+    the 32-pass masked-XOR sweep over the slot panel (~64 full-panel
+    reads/writes of HBM traffic) with one bit-plane expansion plus a
+    (B, W*32) x (W*32, 16) MXU pass."""
     B, W = words.shape
-    t = jnp.asarray(table.reshape(W, 32))
-    acc = jnp.zeros((B, W), jnp.uint16)
-    for j in range(32):
-        bit = jax.lax.shift_right_logical(
-            words, jnp.uint32(31 - j)).astype(jnp.uint16) & 1
-        acc = acc ^ (bit * t[None, :, j])
-    return jax.lax.reduce(acc, jnp.uint16(0),
-                          lambda a, b: jnp.bitwise_xor(a, b), (1,))
+    # static (W*32, 16) weight bit-planes; table position p = w*32 + j
+    # already weights word w's bit j MSB-first, matching the expansion
+    t = np.asarray(table, np.uint16).reshape(-1)
+    planes = ((t[:, None].astype(np.uint32)
+               >> np.arange(16)[None, :]) & 1).astype(np.int8)
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = (jax.lax.shift_right_logical(words[:, :, None],
+                                        shifts[None, None, :])
+            & jnp.uint32(1)).astype(jnp.int8).reshape(B, W * 32)
+    counts = jax.lax.dot_general(
+        bits, jnp.asarray(planes), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)          # (B, 16) exact
+    parity = (counts & 1).astype(jnp.uint16)
+    weights = (jnp.uint16(1) << jnp.arange(16, dtype=jnp.uint16))
+    return (parity * weights[None, :]).sum(axis=1).astype(jnp.uint16)
 
 
 # ---------------------------------------------------------------------------

@@ -117,28 +117,29 @@ def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
     hic = hi.reshape(rows * C, CHUNK_T)
     loc = lo.reshape(rows * C, CHUNK_T)
     r_ids = jnp.arange(CHUNK_R, dtype=jnp.int32)
-    # ONE one-hot for all four 16-bit value planes: the lo word lands at
-    # local+1, which is the hi placement shifted one column — a static
-    # column roll of the matmul result, so oh1 never materializes
-    oh = (local[:, :, None] == r_ids[None, None, :]).astype(jnp.float32)
+    # ONE one-hot for all value planes: the lo word lands at local+1,
+    # which is the hi placement shifted one column — a static column roll
+    # of the matmul result, so oh1 never materializes.  int8 one-hot +
+    # 4-bit nibble planes: the s8 x s8 -> s32 MXU path is exact (plane
+    # sums <= 15 * CHUNK_T) and the materialized one-hot is 1/4 the f32
+    # version's HBM bytes, which dominated this stage's time.
+    oh = (local[:, :, None] == r_ids[None, None, :]).astype(jnp.int8)
 
-    def halves(c):
-        return ((c & jnp.uint32(0xFFFF)).astype(jnp.float32),
-                jax.lax.shift_right_logical(c, jnp.uint32(16)).astype(
-                    jnp.float32))
+    nib_sh = (jnp.arange(8, dtype=jnp.uint32) * 4)[:, None, None]
 
-    hi_lo, hi_hi = halves(hic)
-    lo_lo, lo_hi = halves(loc)
-    planes = jnp.stack([hi_lo, hi_hi, lo_lo, lo_hi])  # (4, CT, T)
-    # HIGHEST: the batched form lowers to real MXU matmuls, whose default
-    # bf16 passes truncate the 16-bit halves (measured: low-bit errors);
-    # the bf16x6 decomposition reproduces exact f32 sums (all partial
-    # sums here are integers <= 0xFFFF, disjoint bit fields)
-    out4 = jnp.einsum("vct,ctr->vcr", planes, oh,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    hi_w = out4[0].astype(jnp.uint32) + (out4[1].astype(jnp.uint32) << 16)
-    lo_w = out4[2].astype(jnp.uint32) + (out4[3].astype(jnp.uint32) << 16)
+    def nibbles(c):  # (CT, T) uint32 -> (8, CT, T) int8 nibble planes
+        return ((c[None] >> nib_sh) & jnp.uint32(0xF)).astype(jnp.int8)
+
+    planes = jnp.concatenate([nibbles(hic), nibbles(loc)])  # (16, CT, T)
+    out16 = jnp.einsum("vct,ctr->vcr", planes, oh,
+                       preferred_element_type=jnp.int32)
+    # carries across nibble boundaries propagate correctly: the shifted
+    # per-nibble sums add to sum_t value_t, which the disjoint bit fields
+    # keep inside uint32
+    hi_w = sum((out16[i].astype(jnp.uint32) << jnp.uint32(4 * i))
+               for i in range(8))
+    lo_w = sum((out16[8 + i].astype(jnp.uint32) << jnp.uint32(4 * i))
+               for i in range(8))
     # place lo at local+1: shift columns right by one (window slot R-1
     # would spill; chunks needing it exceed span R-2 and are flagged)
     panels = hi_w + jnp.concatenate(

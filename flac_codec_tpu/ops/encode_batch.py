@@ -237,7 +237,8 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
                              window_kind=("tukey", 0.5),
                              analysis: str = "auto",
                              pack_budget: int = 0,
-                             frame_pack: bool = False):
+                             frame_pack: bool = False,
+                             slim: bool = False):
     """Plan encoding for a batch of frames.
 
     pcm: (B, C, N) int32.  ``analysis`` chooses the float dtype for LPC
@@ -343,6 +344,15 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
 
         plan = pack_frame_bodies(plan, block_size, bits_per_sample,
                                  pack_budget)
+        if slim:
+            # frame-packed assembly needs exactly these five leaves (the
+            # body blobs already hold every header/warm-up/param field;
+            # fallback frames re-encode from host PCM) — dropping the
+            # per-channel plan tree shrinks every device->host download
+            # (parallel/batch.py:_assemble_frames_packed)
+            plan = {k: plan[k] for k in (
+                "assignment", "frame_words", "body_bits", "inner_crc",
+                "frame_fallback")}
     elif pack_budget:
         plan = _pack_plan_channels(plan, block_size, pack_budget)
     return plan
@@ -351,7 +361,7 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
 encode_frames_plan = partial(jax.jit, static_argnames=(
     "bits_per_sample", "block_size", "max_lpc_order", "max_partition_order",
     "mid_side", "exhaustive", "window_kind", "analysis", "pack_budget",
-    "frame_pack",
+    "frame_pack", "slim",
 ))(_encode_frames_plan_impl)
 
 
@@ -375,7 +385,7 @@ def _leaf_to_bytes(leaf: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=(
     "bits_per_sample", "block_size", "max_lpc_order", "max_partition_order",
     "mid_side", "exhaustive", "window_kind", "analysis", "pack_budget",
-    "frame_pack",
+    "frame_pack", "slim",
 ))
 def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
                             block_size: int, max_lpc_order,
@@ -384,7 +394,8 @@ def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
                             window_kind=("tukey", 0.5),
                             analysis: str = "auto",
                             pack_budget: int = 0,
-                            frame_pack: bool = False) -> jnp.ndarray:
+                            frame_pack: bool = False,
+                            slim: bool = False) -> jnp.ndarray:
     """Like :func:`encode_frames_plan` but returns one flat uint8 array
     holding every plan leaf (tree_flatten order).  Decode with
     :func:`plan_blob_spec` + :func:`unpack_plan_blob`."""
@@ -392,7 +403,8 @@ def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
         pcm, bits_per_sample=bits_per_sample, block_size=block_size,
         max_lpc_order=max_lpc_order, max_partition_order=max_partition_order,
         mid_side=mid_side, exhaustive=exhaustive, window_kind=window_kind,
-        analysis=analysis, pack_budget=pack_budget, frame_pack=frame_pack)
+        analysis=analysis, pack_budget=pack_budget, frame_pack=frame_pack,
+        slim=slim)
     leaves = jax.tree_util.tree_leaves(plan)
     return jnp.concatenate([_leaf_to_bytes(l) for l in leaves])
 

@@ -120,9 +120,12 @@ def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
     # ONE one-hot for all value planes: the lo word lands at local+1,
     # which is the hi placement shifted one column — a static column roll
     # of the matmul result, so oh1 never materializes.  int8 one-hot +
-    # 4-bit nibble planes: the s8 x s8 -> s32 MXU path is exact (plane
-    # sums <= 15 * CHUNK_T) and the materialized one-hot is 1/4 the f32
-    # version's HBM bytes, which dominated this stage's time.
+    # 4-bit nibble planes: s8 x s8 -> s32 MXU accumulation is always
+    # exact for int8 inputs, and nibble recombination is exact mod 2^32
+    # by linearity; the disjoint-bit-field invariant (span overflow is
+    # flagged above) is what makes the panel *add* equal a bitwise OR.
+    # The int8 one-hot is 1/4 the f32 version's HBM bytes, which
+    # dominated this stage's time.
     oh = (local[:, :, None] == r_ids[None, None, :]).astype(jnp.int8)
 
     nib_sh = (jnp.arange(8, dtype=jnp.uint32) * 4)[:, None, None]

@@ -145,8 +145,9 @@ def assemble_frames(plan: dict, pcm: np.ndarray, streaminfo: meta.Streaminfo,
         for key in ("body_bits", "inner_crc", "frame_fallback"):
             plan[key] = plan[key][:B]
     plan["assignment"] = plan["assignment"][:B]
-    plan["channels"] = [{k: v[:B] for k, v in ch.items()}
-                       for ch in plan["channels"]]
+    if "channels" in plan:  # absent from slim frame-packed plans
+        plan["channels"] = [{k: v[:B] for k, v in ch.items()}
+                            for ch in plan["channels"]]
     nat = native.load()
     if nat is not None:
         if "frame_words" in plan:
@@ -445,6 +446,9 @@ class BatchEncoder:
             analysis=self.analysis,
             pack_budget=self.pack_budget,
             frame_pack=self.frame_pack,
+            # frame-packed assembly reads only 5 plan leaves; the slim
+            # blob drops the per-channel tree from every download
+            slim=self.frame_pack,
         )
         # single-blob plan: ONE device->host transfer per batch (a plan
         # dict has ~25 leaves; per-leaf DMAs pay a full RPC round trip

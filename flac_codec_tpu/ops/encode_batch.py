@@ -373,13 +373,36 @@ encode_frames_plan = partial(jax.jit, static_argnames=(
 # ``copy_to_host_async`` for download/compute overlap.
 # ---------------------------------------------------------------------------
 
-def _leaf_to_bytes(leaf: jnp.ndarray) -> jnp.ndarray:
+def _leaf_to_words(leaf: jnp.ndarray) -> jnp.ndarray:
+    """Flatten a plan leaf to uint32 words (little-endian within words).
+
+    The blob is uint32-native: 4-byte leaves (frame_words dominates every
+    production blob) pass through as a zero-cost bitcast, instead of the
+    u32->u8 bitcast whose minor-dim-4 relayout was measured at ~1.2 ms
+    per step on v5e (tools/profile_xplane.py).  Narrow leaves pad to a
+    word boundary and pack little-endian, which is exactly how the host
+    unpacks them (np.frombuffer on the word buffer's bytes).
+    """
     a = leaf.reshape(-1)
     if a.dtype == jnp.bool_:
         a = a.astype(jnp.uint8)
-    if a.dtype.itemsize == 1:
-        return a.view(jnp.uint8) if a.dtype != jnp.uint8 else a
-    return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+    size = a.dtype.itemsize
+    if size == 4:
+        return jax.lax.bitcast_convert_type(a, jnp.uint32)
+    if size == 8:
+        return jax.lax.bitcast_convert_type(a, jnp.uint32).reshape(-1)
+    # 1- or 2-byte leaves: pad to a word multiple, widen, shift-or.
+    per = 4 // size
+    pad = (-a.shape[0]) % per
+    if pad:
+        a = jnp.pad(a, (0, pad))
+    g = a.reshape(-1, per).astype(jnp.uint32)
+    if size == 1:
+        g = g & 0xFF
+    else:
+        g = g & 0xFFFF
+    sh = jnp.arange(per, dtype=jnp.uint32) * (8 * size)
+    return (g << sh[None, :]).sum(axis=1, dtype=jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=(
@@ -396,9 +419,10 @@ def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
                             pack_budget: int = 0,
                             frame_pack: bool = False,
                             slim: bool = False) -> jnp.ndarray:
-    """Like :func:`encode_frames_plan` but returns one flat uint8 array
-    holding every plan leaf (tree_flatten order).  Decode with
-    :func:`plan_blob_spec` + :func:`unpack_plan_blob`."""
+    """Like :func:`encode_frames_plan` but returns one flat uint32 array
+    holding every plan leaf (tree_flatten order, each leaf word-aligned,
+    little-endian within words).  Decode with :func:`plan_blob_spec` +
+    :func:`unpack_plan_blob`."""
     plan = _encode_frames_plan_impl(
         pcm, bits_per_sample=bits_per_sample, block_size=block_size,
         max_lpc_order=max_lpc_order, max_partition_order=max_partition_order,
@@ -406,7 +430,7 @@ def encode_frames_plan_blob(pcm: jnp.ndarray, *, bits_per_sample: int,
         analysis=analysis, pack_budget=pack_budget, frame_pack=frame_pack,
         slim=slim)
     leaves = jax.tree_util.tree_leaves(plan)
-    return jnp.concatenate([_leaf_to_bytes(l) for l in leaves])
+    return jnp.concatenate([_leaf_to_words(l) for l in leaves])
 
 
 def plan_blob_spec(batch_shape, dtype, **kw):
@@ -420,11 +444,14 @@ def plan_blob_spec(batch_shape, dtype, **kw):
 
 
 def unpack_plan_blob(blob, spec):
-    """Reassemble the plan dict from a downloaded blob (host, zero-copy)."""
+    """Reassemble the plan dict from a downloaded blob (host, zero-copy).
+
+    The blob is uint32 words; each leaf starts word-aligned and narrow
+    leaves are little-endian packed (see _leaf_to_words)."""
     import numpy as np
 
     shapes, treedef = spec
-    blob = np.asarray(blob)
+    blob = np.ascontiguousarray(np.asarray(blob)).view(np.uint8)
     out, off = [], 0
     for shape, dtype in shapes:
         npdt = np.dtype(dtype.name if dtype.name != "bool" else "uint8")
@@ -433,6 +460,6 @@ def unpack_plan_blob(blob, spec):
         if dtype.name == "bool":
             arr = arr.astype(bool)
         out.append(arr)
-        off += count * npdt.itemsize
+        off += -(count * npdt.itemsize) // 4 * -4  # next word boundary
     assert off == blob.nbytes, (off, blob.nbytes)
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -81,34 +81,10 @@ def main():
     print("xplane files:", xplanes, flush=True)
     if not xplanes:
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats", {"tqx": "out:csv;"})
-    out_csv = "/tmp/flac_opstats.csv"
-    with open(out_csv, "w") as f:
-        f.write(data if isinstance(data, str) else data.decode())
-    print("wrote", out_csv, flush=True)
-
-    import csv
-    import io as _io
-
-    rows = list(csv.DictReader(_io.StringIO(
-        data if isinstance(data, str) else data.decode())))
-    key_t = next((k for k in rows[0] if "total_self_time" in k.lower()
-                  or "self time" in k.lower() or "self_time" in k.lower()),
-                 None)
-    print("columns:", list(rows[0])[:14], flush=True)
-    if key_t is None:
-        return
-    tot = sum(float(r[key_t] or 0) for r in rows)
-    rows.sort(key=lambda r: -float(r[key_t] or 0))
-    print(f"total self time: {tot:.1f}")
-    for r in rows[:40]:
-        name = (r.get("operation") or r.get("Operation")
-                or r.get("op_name") or "?")
-        typ = (r.get("type") or r.get("Type") or "")
-        print(f"{float(r[key_t] or 0):12.1f}  {typ:22s} {name[:90]}")
+    # The tensorboard_plugin_profile converter is incompatible with the
+    # installed TF; parse the XSpace proto directly instead.
+    from xplane_table import load, table
+    table(load(xplanes[0]), top_n=50)
 
 
 if __name__ == "__main__":

@@ -45,14 +45,14 @@ def table(space, top_n=40):
         print(f"== plane: {plane.name}")
         for ln, d in sorted(lines.items(), key=lambda kv: -kv[1]):
             print(f"   line {ln!r}: {d:.3f} ms total")
-        best_line = max(lines, key=lines.get) if lines else None
-        rows = [(d, n, ln, c) for (ln, n), (d, c) in agg.items()
-                if ln == best_line]
-        rows.sort(reverse=True)
-        total = sum(r[0] for r in rows)
-        print(f"   -- top ops on {best_line!r} (total {total:.3f} ms) --")
-        for d, n, ln, c in rows[:top_n]:
-            print(f"   {d:9.3f} ms {100*d/total:5.1f}%  x{c:<5d} {n[:110]}")
+        for pick in lines:
+            rows = [(d, n, ln, c) for (ln, n), (d, c) in agg.items()
+                    if ln == pick]
+            rows.sort(reverse=True)
+            total = sum(r[0] for r in rows)
+            print(f"   -- top ops on {pick!r} (total {total:.3f} ms) --")
+            for d, n, ln, c in rows[:top_n]:
+                print(f"   {d:9.3f} ms {100*d/total:5.1f}%  x{c:<5d} {n[:130]}")
 
 
 if __name__ == "__main__":

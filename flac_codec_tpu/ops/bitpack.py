@@ -10,6 +10,13 @@ unary zeros are implicit in the zero-initialised buffer).
 This removes the raw residual arrays from the device->host transfer — the
 host receives ~compressed-size packed bits plus tiny parameter arrays and
 just splices blobs between headers (native copy_bits).
+
+Round-5 rework: all (B, N) sample math runs in int32/uint32 when the
+residual panel is narrow (quotients clamped at 2^18 — any clamped row
+already exceeds every real budget and is flagged for host fallback), and
+every field scatter CHAINS onto one running buffer instead of summing
+per-field zero-initialised copies (each of which cost a full buffer
+zero + add pass on TPU, ~0.3 ms per field at production shapes).
 """
 
 from __future__ import annotations
@@ -19,31 +26,39 @@ import jax.numpy as jnp
 
 from .rice import KIND_CONSTANT, KIND_ESCAPE, KIND_RICE, MAX_PARTITIONS, zigzag
 
+# any single Rice symbol at least this long overflows every real section
+# budget (<= 18 * 65535 bits), so clamping quotients here keeps the int32
+# prefix sum exact (4096 * (2^18 + 41) < 2^31) without changing which rows
+# get flagged for host fallback
+_QUOTIENT_CAP = 1 << 18
+
 
 def make_scatter(out_words: int):
     """Build the two-word scatter-OR helper for a shared uint32 buffer.
 
-    The returned ``scatter(values, widths, end_offsets, mask)`` ORs
-    ``widths``-bit ``values`` ending at absolute bit ``end_offsets`` into a
-    fresh ``(out_words,)`` buffer via scatter-ADD (bit fields written this
-    way never overlap, and unary/padding zeros are implicit in the
-    zero-initialised buffer), returning the buffer for the caller to sum.
+    The returned ``scatter(buf, values, widths, end_offsets, mask)`` ORs
+    ``widths``-bit ``values`` ending at absolute bit ``end_offsets`` into
+    ``buf`` via chained scatter-ADDs (bit fields written this way never
+    overlap, and unary/padding zeros are implicit in the zero-initialised
+    buffer) — in place when XLA can prove ``buf`` dead afterwards, which
+    the chained-accumulator call pattern guarantees.
     """
 
-    def scatter(values, widths, end_offsets, mask):
+    def scatter(buf, values, widths, end_offsets, mask):
         start = end_offsets - widths
-        word0 = jax.lax.shift_right_logical(start, jnp.int64(5))
+        word0 = jax.lax.shift_right_logical(start, start.dtype.type(5))
         sh = start & 31
         # 64-bit window anchored at word0's bit 0
         pattern = jax.lax.shift_left(
             values.astype(jnp.uint64),
             (64 - sh - widths).astype(jnp.uint64))
-        hi = jax.lax.shift_right_logical(pattern, jnp.uint64(32)).astype(jnp.uint32)
+        hi = jax.lax.shift_right_logical(
+            pattern, jnp.uint64(32)).astype(jnp.uint32)
         lo = (pattern & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         hi = jnp.where(mask, hi, 0)
         lo = jnp.where(mask, lo, 0)
         idx0 = jnp.where(mask, word0, 0).astype(jnp.int32)
-        return (jnp.zeros(out_words, jnp.uint32)
+        return (buf
                 .at[idx0.reshape(-1)].add(hi.reshape(-1), mode="drop")
                 .at[(idx0 + 1).reshape(-1)].add(lo.reshape(-1), mode="drop"))
 
@@ -59,7 +74,8 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
                            panel_words: int = 0):
     """Pack one slot's residual sections for the whole batch.
 
-    res: (B, N) int64 residuals at positions >= order.
+    res: (B, N) int32 (narrow mode) or int64 residuals at positions >=
+        order.
     order/po/rice_bits: (B,).  kinds/params: (B, 64).
     base_bits: (B,) int64 absolute starting BIT offset of each subframe's
         residual section in the shared output buffer (need not be aligned).
@@ -74,14 +90,15 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
         rows must be laid out at P-word strides, i.e. base_bits - the
         residual section's in-panel offset must be b * P * 32).
 
-    Returns (words (out_words,) uint32, bit_len (B,), pack_ovf) —
-    ``words`` must be summed with other slots' buffers by the caller;
-    ``pack_ovf`` (B,) flags rows whose symbols exceeded a one-hot chunk
-    window (panel strategy only; those frames must fall back to host).
+    Returns (words (out_words,) uint32, bit_len (B,), pack_ovf) — the
+    caller may chain more field scatters onto ``words``; ``pack_ovf``
+    (B,) flags rows whose symbols exceeded a one-hot chunk window (panel
+    strategy only; those frames must fall back to host).
     """
     B, N = res.shape
-    pos = jnp.arange(N)
-    in_res = pos[None, :] >= order[:, None]
+    narrow = res.dtype == jnp.int32
+    pos = jnp.arange(N, dtype=jnp.int32)
+    in_res = pos[None, :] >= order.astype(jnp.int32)[:, None]
 
     from .rice import expand_to_samples
 
@@ -90,16 +107,18 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     max_po = min((block_size & -block_size).bit_length() - 1, 6)
     fine_parts = 1 << max_po
     po32 = po.astype(jnp.int32)
-    k_per = expand_to_samples(params.astype(jnp.int64), po32, N, max_po)
+    k_per = expand_to_samples(params.astype(jnp.int32), po32, N, max_po)
     kind_per = expand_to_samples(kinds.astype(jnp.int32), po32, N, max_po)
 
-    u = zigzag(res).astype(jnp.int64)
-    rb = rice_bits.astype(jnp.int64)[:, None]              # 4 or 5
+    u = zigzag(res)                     # uint32 (narrow) / uint64
+    rb32 = rice_bits.astype(jnp.int32)[:, None]            # 4 or 5
 
-    # --- per-sample code lengths ---
-    quotient = jax.lax.shift_right_logical(u, jnp.maximum(k_per, 0))
+    # --- per-sample code lengths (int32, quotient-clamped) ---
+    k_pos = jnp.maximum(k_per, 0)
+    quotient = jax.lax.shift_right_logical(u, k_pos.astype(u.dtype))
+    q32 = jnp.minimum(quotient, u.dtype.type(_QUOTIENT_CAP)).astype(jnp.int32)
     sample_len = jnp.where(
-        kind_per == KIND_RICE, quotient + k_per + 1,
+        kind_per == KIND_RICE, q32 + k_per + 1,
         jnp.where(kind_per == KIND_ESCAPE, k_per, 0))
     sample_len = jnp.where(in_res, sample_len, 0)
 
@@ -114,9 +133,10 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     is_cell_start = (pos % sub) == 0                       # (N,) static
     starts = jnp.repeat(cell_is_pstart, sub, axis=1) & is_cell_start[None, :]
     in_part0 = jnp.repeat(cell_in_part0, sub, axis=1)
-    first_of_part = jnp.where(in_part0, pos[None, :] == order[:, None],
+    first_of_part = jnp.where(in_part0,
+                              pos[None, :] == order.astype(jnp.int32)[:, None],
                               starts)
-    hdr_len_per = jnp.where(kind_per == KIND_RICE, rb, rb + 5)
+    hdr_len_per = jnp.where(kind_per == KIND_RICE, rb32, rb32 + 5)
     extra = jnp.where(first_of_part & in_res, hdr_len_per, 0)
 
     # partition-TABLE header lengths/values ((B, 64), partition layout):
@@ -125,80 +145,56 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     p_ids = jnp.arange(MAX_PARTITIONS, dtype=jnp.int32)
     parts_chosen = jnp.int32(1) << po32
     p_live = p_ids[None, :] < parts_chosen[:, None]        # (B, 64)
+    rb64 = rice_bits.astype(jnp.int64)[:, None]
     k_tab = params.astype(jnp.int64)
     kind_tab = kinds.astype(jnp.int32)
-    hdr_len_tab = jnp.where(kind_tab == KIND_RICE, rb, rb + 5)
+    hdr_len_tab = jnp.where(kind_tab == KIND_RICE, rb64, rb64 + 5)
 
     # section prefix: 2 bits method + 4 bits partition order
     lens = sample_len + extra
-    ends = jnp.cumsum(lens, axis=1) + 6                    # bit offset after sample i
-    bit_len = ends[:, -1]                                  # (B,) total section bits
+    ends = jnp.cumsum(lens, axis=1) + 6                    # int32 (narrow)
+    bit_len = ends[:, -1]                                  # (B,) section bits
 
     base_bits = base_bits.astype(jnp.int64)
-    words = jnp.zeros(out_words, jnp.uint32)
-    scatter = make_scatter(out_words)
     live_b = jnp.ones(B, bool) if live is None else live
 
     in_budget = ends <= budget_bits  # (B, N) per-sample budget guard
 
-    # 1. section prefix: method (2) + partition order (4) at offset 0..6
-    prefix_val = (jnp.where(rice_bits == 4, 0, 1).astype(jnp.int64) << 4) \
-        | po.astype(jnp.int64)
-    words = words + scatter(prefix_val, jnp.full(B, 6, jnp.int64),
-                            base_bits + 6, live_b)
-
-    # 2. partition headers: placed immediately before their first sample's
-    #    code; value = rice param, or escape code + 5-bit escape size /
-    #    constant marker.  Scattered from the (B, 64) partition TABLE, not
-    #    the (B, N) sample panel (<= 64 live headers per row): partition
-    #    p's header ends at (cumulative bits through partition p-1) +
-    #    header length, and the per-partition cumulative comes from the
-    #    sample cumsum's value at each partition's last sample — a strided
-    #    slice of the fine-cell grid, selected over the 7 static levels.
-    escape_code = (jnp.int64(1) << rb[:, 0]) - 1           # (B,)
-    cellcum = ends.reshape(B, fine_parts, sub)[:, :, -1]   # (B, 64) cum bits
-    part_endcum = jnp.zeros((B, MAX_PARTITIONS), ends.dtype)
-    for lvl in range(max_po + 1):
-        step = fine_parts >> lvl
-        lvl_end = cellcum[:, step - 1::step]               # (B, 2^lvl) static
-        lvl_end = jnp.pad(lvl_end,
-                          ((0, 0), (0, MAX_PARTITIONS - (1 << lvl))))
-        part_endcum = jnp.where(po32[:, None] == lvl, lvl_end, part_endcum)
-    prev_end = jnp.concatenate(
-        [jnp.full((B, 1), 6, ends.dtype), part_endcum[:, :-1]], axis=1)
-    hdr_end_tab = base_bits[:, None] + prev_end + hdr_len_tab
-    hdr_val_tab = jnp.where(
-        kind_tab == KIND_RICE, k_tab,
-        (escape_code[:, None] << 5)
-        | jnp.where(kind_tab == KIND_ESCAPE, k_tab, 0))
-    hdr_mask = live_b[:, None] & p_live & \
-        (prev_end + hdr_len_tab <= budget_bits)
-    words = words + scatter(hdr_val_tab, hdr_len_tab, hdr_end_tab, hdr_mask)
-
-    # 2b. empty-tail partitions: a partition whose only content is its
-    #     header (n == 0 impossible; constant partitions have no sample
-    #     bits but DO have samples, handled above)
-
-    # 3. sample codes
-    #    rice: (1 << k) | (u & mask) in the low k+1 bits (unary zeros implicit)
-    #    escape: u's signed value in k bits
-    k_mask = (jnp.int64(1) << jnp.maximum(k_per, 0)) - 1
-    rice_val = (jnp.int64(1) << k_per) | (u & k_mask)
-    esc_mask = (jnp.int64(1) << jnp.maximum(k_per, 1)) - 1
-    esc_val = res & jnp.where(k_per > 0, esc_mask, 0)
-    val = jnp.where(kind_per == KIND_RICE, rice_val, esc_val)
+    # sample-code values/widths
+    #    rice: (1 << k) | (u & mask) in the low k+1 bits (unary zeros
+    #    implicit); escape: u's signed value in k bits
+    one = u.dtype.type(1)
+    k_mask = (one << k_pos.astype(u.dtype)) - one
+    rice_val = (one << k_per.astype(u.dtype)) | (u & k_mask)
+    esc_w = jnp.maximum(k_per, 1)
+    if narrow:
+        esc_mask = ((jnp.uint32(1) << esc_w.astype(jnp.uint32))
+                    - jnp.uint32(1))
+        esc_val = res.astype(jnp.uint32) & jnp.where(
+            k_per > 0, esc_mask, 0)
+    else:
+        esc_mask = (jnp.int64(1) << esc_w.astype(jnp.int64)) - 1
+        esc_val = res & jnp.where(k_per > 0, esc_mask, 0)
+    val = jnp.where(kind_per == KIND_RICE, rice_val,
+                    esc_val.astype(u.dtype))
     width = jnp.where(kind_per == KIND_RICE, k_per + 1, k_per)
     mask = live_b[:, None] & in_res & (kind_per != KIND_CONSTANT) & in_budget
     pack_ovf = jnp.zeros(B, bool)
+
+    scatter = make_scatter(out_words)
     if samples == "panel":
         # chunked one-hot MXU + Pallas merge (ops.packpanel): rows are
         # laid out at panel_words strides, so the merged (B, P) panel IS
-        # the flat buffer's row-major content
+        # the flat buffer's row-major content — it becomes the running
+        # buffer every remaining field chains onto
         from .packpanel import CHUNK_T, chunk_panels, merge_panels
 
         P = panel_words
         assert P > 0 and out_words >= B * P, (out_words, B, P)
-        row_base = base_bits - jnp.arange(B, dtype=jnp.int64) * (P * 32)
+        # panel-local offsets fit int32 (<= P * 32 per row)
+        row_base = (base_bits
+                    - jnp.arange(B, dtype=jnp.int64) * (P * 32)).astype(
+                        jnp.int32)
         v_p, w_p, e_p, m_p = val, width, row_base[:, None] + ends, mask
         tail = (-N) % CHUNK_T
         if tail:  # block sizes not divisible by the chunk width
@@ -208,10 +204,46 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
             m_p = jnp.pad(m_p, ((0, 0), (0, tail)))
         panels, offs, pack_ovf = chunk_panels(v_p, w_p, e_p, m_p)
         merged = merge_panels(panels, offs, P)
-        flat = jnp.concatenate(
+        words = jnp.concatenate(
             [merged.reshape(-1), jnp.zeros(out_words - B * P, jnp.uint32)])
-        words = words + flat
     else:
-        words = words + scatter(val, width, base_bits[:, None] + ends, mask)
+        words = jnp.zeros(out_words, jnp.uint32)
+        words = scatter(words, val, width.astype(jnp.int64),
+                        base_bits[:, None] + ends.astype(jnp.int64), mask)
 
-    return words, bit_len, pack_ovf
+    # 1. section prefix: method (2) + partition order (4) at offset 0..6
+    prefix_val = (jnp.where(rice_bits == 4, 0, 1).astype(jnp.int64) << 4) \
+        | po.astype(jnp.int64)
+    words = scatter(words, prefix_val, jnp.full(B, 6, jnp.int64),
+                    base_bits + 6, live_b)
+
+    # 2. partition headers: placed immediately before their first sample's
+    #    code; value = rice param, or escape code + 5-bit escape size /
+    #    constant marker.  Scattered from the (B, 64) partition TABLE, not
+    #    the (B, N) sample panel (<= 64 live headers per row): partition
+    #    p's header ends at (cumulative bits through partition p-1) +
+    #    header length, and the per-partition cumulative comes from the
+    #    sample cumsum's value at each partition's last sample — a strided
+    #    slice of the fine-cell grid, selected over the 7 static levels.
+    escape_code = (jnp.int64(1) << rb64[:, 0]) - 1         # (B,)
+    cellcum = ends.reshape(B, fine_parts, sub)[:, :, -1]   # (B, 64) cum bits
+    part_endcum = jnp.zeros((B, MAX_PARTITIONS), ends.dtype)
+    for lvl in range(max_po + 1):
+        step = fine_parts >> lvl
+        lvl_end = cellcum[:, step - 1::step]               # (B, 2^lvl) static
+        lvl_end = jnp.pad(lvl_end,
+                          ((0, 0), (0, MAX_PARTITIONS - (1 << lvl))))
+        part_endcum = jnp.where(po32[:, None] == lvl, lvl_end, part_endcum)
+    prev_end = jnp.concatenate(
+        [jnp.full((B, 1), 6, ends.dtype), part_endcum[:, :-1]],
+        axis=1).astype(jnp.int64)
+    hdr_end_tab = base_bits[:, None] + prev_end + hdr_len_tab
+    hdr_val_tab = jnp.where(
+        kind_tab == KIND_RICE, k_tab,
+        (escape_code[:, None] << 5)
+        | jnp.where(kind_tab == KIND_ESCAPE, k_tab, 0))
+    hdr_mask = live_b[:, None] & p_live & \
+        (prev_end + hdr_len_tab <= budget_bits)
+    words = scatter(words, hdr_val_tab, hdr_len_tab, hdr_end_tab, hdr_mask)
+
+    return words, bit_len.astype(jnp.int64), pack_ovf

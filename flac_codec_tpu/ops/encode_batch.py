@@ -49,7 +49,8 @@ def _wasted_bits(x: jnp.ndarray):
 
 def _analyze_channel(x: jnp.ndarray, bps: int, win: jnp.ndarray,
                      max_lpc_order, block_size: int,
-                     max_partition_order: int, use_rice2: bool):
+                     max_partition_order: int, use_rice2: bool,
+                     max_sample_bits: int | None = None):
     """Full subframe candidate analysis for one candidate channel.
 
     Returns a plan dict of batched arrays (see encode_frames_plan).
@@ -63,8 +64,11 @@ def _analyze_channel(x: jnp.ndarray, bps: int, win: jnp.ndarray,
     header_bits = 8 + jnp.where(wasted > 0, wasted, 0)
 
     # ---- FIXED candidate ----
-    diffs, dvalid = fixed.diff_cascade(xs)
-    ford, fres = fixed.best_order(diffs, dvalid)
+    if xs.dtype == jnp.int32 and N >= 5:
+        ford, fres = fixed.plan_narrow(xs)  # fused, stack-free
+    else:
+        diffs, dvalid = fixed.diff_cascade(xs)
+        ford, fres = fixed.best_order(diffs, dvalid)
     fplan = rice.search(fres, ford, block_size, max_partition_order, rice_max)
     fixed_bits = (header_bits.astype(jnp.int64)
                   + ford.astype(jnp.int64) * bps_eff
@@ -76,7 +80,8 @@ def _analyze_channel(x: jnp.ndarray, bps: int, win: jnp.ndarray,
     # InsufficientLpcSamples and yields no LPC candidate at all
     # (reference: src/encode.rs LpcParameters::best early-out)
     if max_lpc_order is not None and block_size > max_lpc_order:
-        lp = lpc.analyze(xs, win, max_lpc_order, bps_eff, block_size)
+        lp = lpc.analyze(xs, win, max_lpc_order, bps_eff, block_size,
+                         max_sample_bits=max_sample_bits)
         lplan = rice.search(lp["residuals"], lp["order"], block_size,
                             max_partition_order, rice_max)
         precision = lp["precision"]
@@ -208,7 +213,7 @@ def _pack_plan_channels(plan: dict, block_size: int, budget_bits: int):
         base_bits = (jnp.arange(B) * per_sub_words).astype(jnp.int64) * 32
         is_pred = (ch["sub_type"] == TYPE_FIXED) | (ch["sub_type"] == TYPE_LPC)
         w, bits, pack_ovf = pack_residual_sections(
-            ch["residuals"].astype(jnp.int64), ch["order"].astype(jnp.int32),
+            ch["residuals"], ch["order"].astype(jnp.int32),
             ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
             ch["rice_bits"].astype(jnp.int32), block_size,
             B * per_sub_words + 2, base_bits, budget_bits * block_size,
@@ -267,10 +272,13 @@ def _encode_frames_plan_impl(pcm: jnp.ndarray, *, bits_per_sample: int,
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     win = lpc.window_array(window_kind, N, dtype)
 
+    # widest candidate channel: side = bps+1 bits (2-limb LPC residual
+    # gate; wasted-bit shifts only narrow further)
     analyze = partial(_analyze_channel, win=win, max_lpc_order=max_lpc_order,
                       block_size=block_size,
                       max_partition_order=max_partition_order,
-                      use_rice2=use_rice2)
+                      use_rice2=use_rice2,
+                      max_sample_bits=bits_per_sample + 1)
 
     if C == 2 and bits_per_sample < 32:
         # narrow (int32) analysis panels whenever the widest candidate

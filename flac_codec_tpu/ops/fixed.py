@@ -12,6 +12,55 @@ import jax.numpy as jnp
 I32_MAX = (1 << 31) - 1
 I32_MIN = -(1 << 31)
 
+# order-k successive differences in closed binomial form:
+# d_k[n] = sum_i BINOM[k][i] * x[n-i]
+_BINOM = ((1, 0, 0, 0, 0),
+          (1, -1, 0, 0, 0),
+          (1, -2, 1, 0, 0),
+          (1, -3, 3, -1, 0),
+          (1, -4, 6, -4, 1))
+
+
+def plan_narrow(x: jnp.ndarray):
+    """(B, N) int32 narrow-mode panel -> (order (B,), residuals (B, N)).
+
+    Bit-identical to ``best_order(*diff_cascade(x))`` for the planner's
+    narrow mode (samples <= 27 bits: every order's diffs are int32-exact,
+    so all orders are valid and the common suffix starts at position 4),
+    but computes each order's abs-sum directly from ``x`` in binomial
+    form — no (B, 5, N) diff stack is ever materialized; XLA fuses the
+    five reductions into shifted reads of one panel, and only the chosen
+    order's residual panel is written (via per-row binomial weights).
+    """
+    B, N = x.shape
+    assert x.dtype == jnp.int32 and N >= 5
+    idx = jnp.arange(N)
+
+    def taps(weights):
+        acc = None
+        for i, c in enumerate(weights):
+            if c == 0:
+                continue
+            t = jnp.pad(x, ((0, 0), (i, 0)))[:, :N] * jnp.int32(c)
+            acc = t if acc is None else acc + t
+        return acc
+
+    suffix = jnp.stack(
+        [jnp.where(idx[None, :] >= 4, jnp.abs(taps(_BINOM[k][:k + 1])), 0)
+         .sum(axis=1, dtype=jnp.int64) for k in range(5)], axis=1)
+    order = jnp.argmin(suffix, axis=1).astype(jnp.int32)  # ties -> lowest
+
+    rows = jnp.asarray(_BINOM, jnp.int32)  # (5, 5)
+    wsel = jnp.broadcast_to(rows[0], (B, 5))
+    for k in range(1, 5):
+        wsel = jnp.where((order == k)[:, None], rows[k], wsel)
+    res = None
+    for i in range(5):
+        t = jnp.pad(x, ((0, 0), (i, 0)))[:, :N] * wsel[:, i:i + 1]
+        res = t if res is None else res + t
+    res = jnp.where(idx[None, :] >= order[:, None], res, 0)
+    return order, res
+
 
 def diff_cascade(x: jnp.ndarray):
     """(B, N) int -> (diffs (B, 5, N), valid (B, 5) bool).

@@ -171,68 +171,71 @@ def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
         # each subframe is packed into its own word-aligned P-word panel
         # (bit 0 of the subframe = panel word 0 bit 31); the splice kernel
         # below bit-concatenates the S panels into the frame slot
-        words = jnp.zeros(panel_out, jnp.uint32)
         base = row_base  # (B,) panel-aligned bit offset
 
-        # 1. subframe header byte: pad(1) + type code(6) + wasted flag(1)
+        # field geometry first (every offset is computable up front) ...
         code6 = jnp.where(
             typ == TYPE_CONSTANT, 0,
             jnp.where(typ == TYPE_VERBATIM, 1,
                       jnp.where(typ == TYPE_FIXED, 0b001000 | order,
                                 0b100000 | jnp.maximum(order - 1, 0))))
         hdr_val = (code6 << 1) | has_wasted.astype(jnp.int64)
-        words = words + scatter(hdr_val, jnp.full(B, 8, jnp.int64),
-                                base + 8, ok)
+        hdr_end = base + 8 + jnp.where(has_wasted, wasted, 0)
+        warm = ch["warmup"].astype(jnp.int64)  # (B, 32)
+        warm_end = hdr_end + order * eff
+        pre_res = jnp.where(is_lpc, warm_end + 9 + order * precision,
+                            warm_end)
+
+        # ... so the residual section packs FIRST and produces the panel
+        # buffer that every small header/parameter field chains onto
+        # (chained in-place scatter-adds; field order is irrelevant since
+        # all bit fields are disjoint)
+        words, bits, pack_ovf = pack_residual_sections(
+            ch["residuals"], order.astype(jnp.int32),
+            ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
+            ch["rice_bits"].astype(jnp.int32), block_size, panel_out,
+            pre_res, budget_bits * block_size, live=ok & is_pred,
+            samples=strategy, panel_words=P)
+
+        # 1. subframe header byte: pad(1) + type code(6) + wasted flag(1)
+        words = scatter(words, hdr_val, jnp.full(B, 8, jnp.int64),
+                        base + 8, ok)
 
         # 2. wasted-bits unary: (wasted-1) zeros then a 1 -> value 1 at
         #    width `wasted`
-        hdr_end = base + 8 + jnp.where(has_wasted, wasted, 0)
-        words = words + scatter(jnp.ones(B, jnp.int64), wasted, hdr_end,
-                                ok & has_wasted)
+        words = scatter(words, jnp.ones(B, jnp.int64), wasted, hdr_end,
+                        ok & has_wasted)
 
         # 3a. constant value: the UNSHIFTED sample at full slot bps
         #     (warmup holds the wasted-shifted channel)
-        warm = ch["warmup"].astype(jnp.int64)  # (B, 32)
         cval = (warm[:, 0] << wasted) & ((jnp.int64(1) << bps_s.astype(
             jnp.int64)) - 1)
-        words = words + scatter(cval, bps_s.astype(jnp.int64),
-                                hdr_end + bps_s.astype(jnp.int64),
-                                ok & (typ == TYPE_CONSTANT))
+        words = scatter(words, cval, bps_s.astype(jnp.int64),
+                        hdr_end + bps_s.astype(jnp.int64),
+                        ok & (typ == TYPE_CONSTANT))
 
         # 3b. warm-up samples (fixed/LPC): order * eff-bit signed fields
         j = jnp.arange(32, dtype=jnp.int64)
         wmask = ok[:, None] & is_pred[:, None] & (j[None, :] < order[:, None])
         wval = warm & ((jnp.int64(1) << eff[:, None]) - 1)
         wend = hdr_end[:, None] + (j[None, :] + 1) * eff[:, None]
-        words = words + scatter(wval, jnp.broadcast_to(eff[:, None], (B, 32)),
-                                wend, wmask)
-        warm_end = hdr_end + order * eff
+        words = scatter(words, wval,
+                        jnp.broadcast_to(eff[:, None], (B, 32)), wend, wmask)
 
         # 4. LPC parameter fields: precision-1 (4) + shift (signed 5)
         shift = ch["shift"].astype(jnp.int64)
         pval = ((precision - 1) << 5) | (shift & 31)
-        words = words + scatter(pval, jnp.full(B, 9, jnp.int64),
-                                warm_end + 9, ok & is_lpc)
+        words = scatter(words, pval, jnp.full(B, 9, jnp.int64),
+                        warm_end + 9, ok & is_lpc)
 
         # 5. quantized coefficients: order * precision-bit signed fields
         q = ch["qcoeffs"].astype(jnp.int64)  # (B, 32)
         qmask = ok[:, None] & is_lpc[:, None] & (j[None, :] < order[:, None])
         qval = q & ((jnp.int64(1) << precision[:, None]) - 1)
         qend = warm_end[:, None] + 9 + (j[None, :] + 1) * precision[:, None]
-        words = words + scatter(
-            qval, jnp.broadcast_to(precision[:, None], (B, 32)), qend, qmask)
-
-        pre_res = jnp.where(is_lpc, warm_end + 9 + order * precision,
-                            warm_end)
-
-        # 6. residual section (Rice partitions) via the shared packer
-        w, bits, pack_ovf = pack_residual_sections(
-            ch["residuals"].astype(jnp.int64), order.astype(jnp.int32),
-            ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
-            ch["rice_bits"].astype(jnp.int32), block_size, panel_out,
-            pre_res, budget_bits * block_size, live=ok & is_pred,
-            samples=strategy, panel_words=P)
-        words = words + w
+        words = scatter(
+            words, qval, jnp.broadcast_to(precision[:, None], (B, 32)),
+            qend, qmask)
         ch["res_bits"] = jnp.where(is_pred, bits, 0).astype(bits.dtype)
         ch["res_overflow"] = is_pred & (bits > budget_bits * block_size)
         fallback = fallback | ch["res_overflow"] | pack_ovf

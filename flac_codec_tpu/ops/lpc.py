@@ -171,7 +171,8 @@ _RLIMB = 11
 
 
 def _residuals_i32(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
-                   shift: jnp.ndarray, max_taps: int):
+                   shift: jnp.ndarray, max_taps: int,
+                   max_sample_bits: int | None = None):
     """All-int32 limb formulation of :func:`residuals` for narrow panels.
 
     Same technique as the decode kernel's 3/4-limb modes
@@ -183,12 +184,25 @@ def _residuals_i32(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
     the per-row overflow flag is exact (res fits int32 iff
     res_hi == res_lo >> 31).  Avoids every int64 op on the (B, N)
     panels, which XLA emulates on TPU at several times int32 cost.
+
+    When the caller can bound |x| < 2^(2*_RLIMB - 1) statically
+    (``max_sample_bits <= 21``, e.g. 16-bit audio incl. the +1-bit side
+    channel), the top limb is identically zero and the tap loop runs on
+    two limbs instead of three — the loop is the planner's single
+    hottest fusion, so this cuts a third of its panel traffic.
     """
     B, N = x.shape
     K = _RLIMB
     m = (1 << K) - 1
-    x_hi = jax.lax.shift_right_arithmetic(x, jnp.int32(2 * K))
-    x_mid = jax.lax.shift_right_arithmetic(x, jnp.int32(K)) & m
+    two_limb = max_sample_bits is not None and max_sample_bits <= 2 * K
+    # 2-limb exactness: |x| < 2^22 makes x_mid = x >> 11 an 11-bit signed
+    # limb (unmasked, sign-carrying), so every partial product
+    # |q|*|limb| <= 2^14 * 2^10 stays int32-exact over 32 taps and the
+    # top limb is identically zero.
+    x_mid = jax.lax.shift_right_arithmetic(x, jnp.int32(K))
+    if not two_limb:
+        x_hi = jax.lax.shift_right_arithmetic(x, jnp.int32(2 * K))
+        x_mid = x_mid & m
     x_lo = x & m
     s_hi = jnp.zeros((B, N), jnp.int32)
     s_mid = jnp.zeros((B, N), jnp.int32)
@@ -196,9 +210,11 @@ def _residuals_i32(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
     for j in range(min(max_taps, MAX_ORDER)):
         q = qcoeffs[:, j:j + 1]
         pad = ((0, 0), (j + 1, 0))
-        s_hi = s_hi + q * jnp.pad(x_hi, pad)[:, :N]
+        if not two_limb:
+            s_hi = s_hi + q * jnp.pad(x_hi, pad)[:, :N]
         s_mid = s_mid + q * jnp.pad(x_mid, pad)[:, :N]
         s_lo = s_lo + q * jnp.pad(x_lo, pad)[:, :N]
+    # two_limb: s_hi stays all-zero; XLA folds the zero add64 away
 
     def add64(hi_a, lo_a, hi_b, lo_b):
         lo = lo_a + lo_b
@@ -231,7 +247,8 @@ def _residuals_i32(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
 
 
 def residuals(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
-              shift: jnp.ndarray, max_taps: int = MAX_ORDER):
+              shift: jnp.ndarray, max_taps: int = MAX_ORDER,
+              max_sample_bits: int | None = None):
     """Batched integer LPC residuals
     r[n] = x[n] - ((sum_j q_j x[n-1-j]) >> shift), n >= order
     (reference: src/encode.rs:3174-3203).
@@ -248,7 +265,8 @@ def residuals(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
     """
     B, N = x.shape
     if x.dtype == jnp.int32:
-        return _residuals_i32(x, qcoeffs, order, shift, max_taps)
+        return _residuals_i32(x, qcoeffs, order, shift, max_taps,
+                              max_sample_bits)
     acc = jnp.zeros((B, N), jnp.int64)
     q64 = qcoeffs.astype(jnp.int64)
     for j in range(min(max_taps, MAX_ORDER)):
@@ -267,7 +285,8 @@ def residuals(x: jnp.ndarray, qcoeffs: jnp.ndarray, order: jnp.ndarray,
 
 
 def analyze(x: jnp.ndarray, win: jnp.ndarray, max_order: int,
-            bits_per_sample, block_size: int):
+            bits_per_sample, block_size: int,
+            max_sample_bits: int | None = None):
     """Full LPC parameter selection for a batch of channels.
 
     Float math runs in ``win.dtype`` (f64 for exact reference parity, f32
@@ -287,7 +306,8 @@ def analyze(x: jnp.ndarray, win: jnp.ndarray, max_order: int,
         coeffs = jnp.where((order == o + 1)[:, None], all_coeffs[:, o], coeffs)
     shift, qcoeffs, quant_valid = quantize(coeffs, order, precision,
                                            max_taps=max_order)
-    res, overflow = residuals(x, qcoeffs, order, shift, max_taps=max_order)
+    res, overflow = residuals(x, qcoeffs, order, shift, max_taps=max_order,
+                              max_sample_bits=max_sample_bits)
     # all-zero quantized coefficients are also rejected by the reference's
     # bitstream layer only at write time; the ZeroLpCoefficients check
     # happens pre-quantization via l > 0 (covered by quant_valid)

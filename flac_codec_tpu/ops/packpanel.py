@@ -120,29 +120,33 @@ def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
     # ONE one-hot for all value planes: the lo word lands at local+1,
     # which is the hi placement shifted one column — a static column roll
     # of the matmul result, so oh1 never materializes.  int8 one-hot +
-    # 4-bit nibble planes: s8 x s8 -> s32 MXU accumulation is always
-    # exact for int8 inputs, and nibble recombination is exact mod 2^32
-    # by linearity; the disjoint-bit-field invariant (span overflow is
-    # flagged above) is what makes the panel *add* equal a bitwise OR.
-    # The int8 one-hot is 1/4 the f32 version's HBM bytes, which
-    # dominated this stage's time.
+    # BIASED BYTE planes (8 value planes + 1 ones plane instead of 16
+    # nibble planes — 44% fewer MXU MACs, the stage's bound): s8 x s8 ->
+    # s32 MXU accumulation is always exact for int8 inputs; the -128 bias
+    # (to fit bytes in s8) is undone per column via the ones-plane count,
+    # and byte recombination is exact mod 2^32 by linearity.  The
+    # disjoint-bit-field invariant (span overflow is flagged above) is
+    # what makes the panel *add* equal a bitwise OR.
     oh = (local[:, :, None] == r_ids[None, None, :]).astype(jnp.int8)
 
-    nib_sh = (jnp.arange(8, dtype=jnp.uint32) * 4)[:, None, None]
+    byte_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[:, None, None]
 
-    def nibbles(c):  # (CT, T) uint32 -> (8, CT, T) int8 nibble planes
-        return ((c[None] >> nib_sh) & jnp.uint32(0xF)).astype(jnp.int8)
+    def bytes_(c):  # (CT, T) uint32 -> (4, CT, T) int8 biased byte planes
+        return (((c[None] >> byte_sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+                - 128).astype(jnp.int8)
 
-    planes = jnp.concatenate([nibbles(hic), nibbles(loc)])  # (16, CT, T)
-    out16 = jnp.einsum("vct,ctr->vcr", planes, oh,
-                       preferred_element_type=jnp.int32)
-    # carries across nibble boundaries propagate correctly: the shifted
-    # per-nibble sums add to sum_t value_t, which the disjoint bit fields
-    # keep inside uint32
-    hi_w = sum((out16[i].astype(jnp.uint32) << jnp.uint32(4 * i))
-               for i in range(8))
-    lo_w = sum((out16[8 + i].astype(jnp.uint32) << jnp.uint32(4 * i))
-               for i in range(8))
+    ones = jnp.ones((1,) + hic.shape, jnp.int8)
+    planes = jnp.concatenate([bytes_(hic), bytes_(loc), ones])  # (9, CT, T)
+    out9 = jnp.einsum("vct,ctr->vcr", planes, oh,
+                      preferred_element_type=jnp.int32)
+    corr = out9[8] * 128  # per-column bias correction (live-symbol count)
+
+    def word(j0):  # carries across byte boundaries propagate correctly
+        return sum(((out9[j0 + i] + corr).astype(jnp.uint32)
+                    << jnp.uint32(8 * i)) for i in range(4))
+
+    hi_w = word(0)
+    lo_w = word(4)
     # place lo at local+1: shift columns right by one (window slot R-1
     # would spill; chunks needing it exceed span R-2 and are flagged)
     panels = hi_w + jnp.concatenate(

@@ -152,7 +152,14 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
 
     # section prefix: 2 bits method + 4 bits partition order
     lens = sample_len + extra
-    ends = jnp.cumsum(lens, axis=1) + 6                    # int32 (narrow)
+    if lens.dtype == jnp.int32 and N % 128 == 0:
+        # exact MXU prefix sum: one triangular matmul per 16-bit half vs
+        # cumsum's ~12 reduce-window HBM round-trips (row sums < 2^31 by
+        # the quotient clamp)
+        from .common import prefix_sum_i32
+        ends = prefix_sum_i32(lens) + 6
+    else:
+        ends = jnp.cumsum(lens, axis=1) + 6
     bit_len = ends[:, -1]                                  # (B,) section bits
 
     base_bits = base_bits.astype(jnp.int64)

@@ -35,15 +35,16 @@ def _wasted_bits(x: jnp.ndarray):
         u = x.astype(jnp.uint32)  # two's-complement reinterpret
     else:
         u = jnp.bitwise_and(x, 0xFFFFFFFF).astype(jnp.uint32)
-    low = jnp.bitwise_and(u, (~u + jnp.uint32(1)))  # lowest set bit
-    # trailing zeros = 31 - clz(lowest set bit); zero -> 32
-    tz = jnp.where(
-        u == 0, 32,
-        31 - jax.lax.clz(jnp.where(low == 0, jnp.uint32(1), low))
-        .astype(jnp.int32))
-    min_tz = jnp.min(tz, axis=1)
-    all_zero = min_tz >= 32
-    wasted = jnp.where(min_tz >= 32, 0, min_tz)
+    # min over samples of trailing-zeros == trailing-zeros of the bitwise
+    # OR (zero samples are the identity for both) — one OR reduction over
+    # the panel instead of per-sample lowest-set-bit/clz math (round 5:
+    # the fused tz+min pass was ~1 ms/step at production shapes)
+    acc = jax.lax.reduce(u, jnp.uint32(0), jax.lax.bitwise_or, (1,))  # (B,)
+    low = jnp.bitwise_and(acc, (~acc + jnp.uint32(1)))  # lowest set bit
+    tz = 31 - jax.lax.clz(jnp.where(low == 0, jnp.uint32(1), low)).astype(
+        jnp.int32)
+    all_zero = acc == 0
+    wasted = jnp.where(all_zero, 0, tz)
     return wasted.astype(jnp.int32), all_zero
 
 

@@ -433,3 +433,23 @@ def test_residuals_i32_limb_parity():
                                   jnp.asarray(shift), max_taps=12)
         assert (np.asarray(r32) == np.asarray(r64).astype(np.int32)).all()
         assert (np.asarray(o32) == np.asarray(o64)).all()
+
+
+def test_prefix_sum_i32_exact():
+    """The MXU matmul prefix sum must equal cumsum exactly for every
+    admissible input: non-negative int32 with row sums < 2^31 (round 5;
+    replaces the reduce-window cumsum in pack_residual_sections)."""
+    from flac_codec_tpu.ops.common import prefix_sum_i32
+    rng = np.random.default_rng(11)
+    for B, N, hi in ((4, 128, 1 << 18), (7, 512, 64), (3, 4096, 1 << 18),
+                     (2, 4096, 524287)):
+        x = rng.integers(0, hi, (B, N)).astype(np.int32)
+        got = np.asarray(prefix_sum_i32(jnp.asarray(x)))
+        want = np.cumsum(x.astype(np.int64), axis=1)
+        assert want[:, -1].max() < 2 ** 31
+        assert (got == want.astype(np.int32)).all()
+    # adversarial: max-magnitude elements saturating the row-sum bound
+    x = np.full((2, 4096), 524287, np.int32)  # 4096 * (2^19-1) < 2^31
+    got = np.asarray(prefix_sum_i32(jnp.asarray(x)))
+    want = np.cumsum(x.astype(np.int64), axis=1).astype(np.int32)
+    assert (got == want).all()

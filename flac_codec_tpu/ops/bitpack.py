@@ -71,7 +71,7 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
                            block_size: int, out_words: int,
                            base_bits: jnp.ndarray, budget_bits: int,
                            live=None, samples: str = "scatter",
-                           panel_words: int = 0):
+                           panel_words: int = 0, fields=None):
     """Pack one slot's residual sections for the whole batch.
 
     res: (B, N) int32 (narrow mode) or int64 residuals at positions >=
@@ -89,6 +89,12 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
         panel strategy requires ``panel_words`` (the per-row panel size P;
         rows must be laid out at P-word strides, i.e. base_bits - the
         residual section's in-panel offset must be b * P * 32).
+    fields: optional list of (values, widths, ends, mask) header-field
+        groups, each (B,) or (B, K) with ABSOLUTE flat bit ends — packed
+        for free through the one-hot field window (panel strategy; every
+        field must end within the panel's first FIELD_WINDOW_WORDS words,
+        true for all subframe header fields) or chained scatters
+        (scatter strategy).
 
     Returns (words (out_words,) uint32, bit_len (B,), pack_ovf) — the
     caller may chain more field scatters onto ``words``; ``pack_ovf``
@@ -189,12 +195,33 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
     pack_ovf = jnp.zeros(B, bool)
 
     scatter = make_scatter(out_words)
+
+    # section prefix (method (2) + partition order (4), ending at bit 6
+    # of the section) rides the header-field pass with any caller fields
+    prefix_val = (jnp.where(rice_bits == 4, 0, 1).astype(jnp.int64) << 4) \
+        | po.astype(jnp.int64)
+    field_groups = [(prefix_val, jnp.full(B, 6, jnp.int64),
+                     base_bits + 6, live_b)]
+    if fields:
+        field_groups += [tuple(g) for g in fields]
+
+    def _as2d(a):
+        return a[:, None] if a.ndim == 1 else a
+
+    def _norm(g):  # normalize a field group to a common (B, K) shape
+        v, w, e, m = (_as2d(x) for x in g)
+        K = max(v.shape[1], w.shape[1], e.shape[1], m.shape[1])
+        return tuple(jnp.broadcast_to(x, (B, K)) for x in (v, w, e, m))
+
+    field_groups = [_norm(g) for g in field_groups]
+
     if samples == "panel":
         # chunked one-hot MXU + Pallas merge (ops.packpanel): rows are
         # laid out at panel_words strides, so the merged (B, P) panel IS
         # the flat buffer's row-major content — it becomes the running
         # buffer every remaining field chains onto
-        from .packpanel import CHUNK_T, chunk_panels, merge_panels
+        from .packpanel import (CHUNK_T, FIELD_WINDOW_WORDS, chunk_panels,
+                                merge_panels, pack_fields_window)
 
         P = panel_words
         assert P > 0 and out_words >= B * P, (out_words, B, P)
@@ -211,18 +238,30 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
             m_p = jnp.pad(m_p, ((0, 0), (0, tail)))
         panels, offs, pack_ovf = chunk_panels(v_p, w_p, e_p, m_p)
         merged = merge_panels(panels, offs, P)
+
+        # header fields land in the panel's first FIELD_WINDOW_WORDS
+        # words via one one-hot MXU pass instead of per-field scatters
+        origin = base_bits - row_base.astype(jnp.int64)  # (B,) panel bit 0
+        fv = jnp.concatenate(
+            [g[0].astype(jnp.uint32) for g in field_groups], axis=1)
+        fw = jnp.concatenate(
+            [g[1].astype(jnp.int32) for g in field_groups], axis=1)
+        fe = jnp.concatenate(
+            [(g[2] - origin[:, None]).astype(jnp.int32)
+             for g in field_groups], axis=1)
+        fm = jnp.concatenate([g[3] for g in field_groups], axis=1)
+        win = pack_fields_window(fv, fw, fe, fm)
+        merged = merged.at[:, :FIELD_WINDOW_WORDS].add(win)
+
         words = jnp.concatenate(
             [merged.reshape(-1), jnp.zeros(out_words - B * P, jnp.uint32)])
     else:
         words = jnp.zeros(out_words, jnp.uint32)
         words = scatter(words, val, width.astype(jnp.int64),
                         base_bits[:, None] + ends.astype(jnp.int64), mask)
-
-    # 1. section prefix: method (2) + partition order (4) at offset 0..6
-    prefix_val = (jnp.where(rice_bits == 4, 0, 1).astype(jnp.int64) << 4) \
-        | po.astype(jnp.int64)
-    words = scatter(words, prefix_val, jnp.full(B, 6, jnp.int64),
-                    base_bits + 6, live_b)
+        for gv, gw, ge, gm in field_groups:
+            words = scatter(words, gv.astype(jnp.int64),
+                            gw.astype(jnp.int64), ge.astype(jnp.int64), gm)
 
     # 2. partition headers: placed immediately before their first sample's
     #    code; value = rice param, or escape code + 5-bit escape size /

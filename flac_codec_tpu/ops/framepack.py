@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .bitpack import make_scatter, pack_residual_sections
+from .bitpack import pack_residual_sections
 from .common import TYPE_CONSTANT, TYPE_FIXED, TYPE_LPC, TYPE_VERBATIM
 
 CRC16_POLY = 0x18005  # x^16 + x^15 + x^2 + 1 (RFC 9639 frame footer CRC)
@@ -136,7 +136,6 @@ def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
     P = subframe_panel_words(block_size, budget_bits)
     W = frame_slot_words(S, block_size, budget_bits)
     panel_out = B * P + 2
-    scatter = make_scatter(panel_out)
     strategy = samples_strategy()
 
     # per-slot bits-per-sample (side channels carry one extra bit)
@@ -186,56 +185,46 @@ def pack_frame_bodies(plan: dict, block_size: int, bps_base: int,
         pre_res = jnp.where(is_lpc, warm_end + 9 + order * precision,
                             warm_end)
 
-        # ... so the residual section packs FIRST and produces the panel
-        # buffer that every small header/parameter field chains onto
-        # (chained in-place scatter-adds; field order is irrelevant since
-        # all bit fields are disjoint)
-        words, bits, pack_ovf = pack_residual_sections(
-            ch["residuals"], order.astype(jnp.int32),
-            ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
-            ch["rice_bits"].astype(jnp.int32), block_size, panel_out,
-            pre_res, budget_bits * block_size, live=ok & is_pred,
-            samples=strategy, panel_words=P)
-
+        # ... so every small header/parameter field rides the residual
+        # pack as a field group (one one-hot MXU window pass in panel
+        # mode, chained scatters otherwise; field order is irrelevant
+        # since all bit fields are disjoint):
         # 1. subframe header byte: pad(1) + type code(6) + wasted flag(1)
-        words = scatter(words, hdr_val, jnp.full(B, 8, jnp.int64),
-                        base + 8, ok)
-
         # 2. wasted-bits unary: (wasted-1) zeros then a 1 -> value 1 at
         #    width `wasted`
-        words = scatter(words, jnp.ones(B, jnp.int64), wasted, hdr_end,
-                        ok & has_wasted)
-
         # 3a. constant value: the UNSHIFTED sample at full slot bps
         #     (warmup holds the wasted-shifted channel)
         cval = (warm[:, 0] << wasted) & ((jnp.int64(1) << bps_s.astype(
             jnp.int64)) - 1)
-        words = scatter(words, cval, bps_s.astype(jnp.int64),
-                        hdr_end + bps_s.astype(jnp.int64),
-                        ok & (typ == TYPE_CONSTANT))
-
         # 3b. warm-up samples (fixed/LPC): order * eff-bit signed fields
         j = jnp.arange(32, dtype=jnp.int64)
         wmask = ok[:, None] & is_pred[:, None] & (j[None, :] < order[:, None])
         wval = warm & ((jnp.int64(1) << eff[:, None]) - 1)
         wend = hdr_end[:, None] + (j[None, :] + 1) * eff[:, None]
-        words = scatter(words, wval,
-                        jnp.broadcast_to(eff[:, None], (B, 32)), wend, wmask)
-
         # 4. LPC parameter fields: precision-1 (4) + shift (signed 5)
         shift = ch["shift"].astype(jnp.int64)
         pval = ((precision - 1) << 5) | (shift & 31)
-        words = scatter(words, pval, jnp.full(B, 9, jnp.int64),
-                        warm_end + 9, ok & is_lpc)
-
         # 5. quantized coefficients: order * precision-bit signed fields
         q = ch["qcoeffs"].astype(jnp.int64)  # (B, 32)
         qmask = ok[:, None] & is_lpc[:, None] & (j[None, :] < order[:, None])
         qval = q & ((jnp.int64(1) << precision[:, None]) - 1)
         qend = warm_end[:, None] + 9 + (j[None, :] + 1) * precision[:, None]
-        words = scatter(
-            words, qval, jnp.broadcast_to(precision[:, None], (B, 32)),
-            qend, qmask)
+        fields = [
+            (hdr_val, jnp.full(B, 8, jnp.int64), base + 8, ok),
+            (jnp.ones(B, jnp.int64), wasted, hdr_end, ok & has_wasted),
+            (cval, bps_s.astype(jnp.int64),
+             hdr_end + bps_s.astype(jnp.int64), ok & (typ == TYPE_CONSTANT)),
+            (wval, jnp.broadcast_to(eff[:, None], (B, 32)), wend, wmask),
+            (pval, jnp.full(B, 9, jnp.int64), warm_end + 9, ok & is_lpc),
+            (qval, jnp.broadcast_to(precision[:, None], (B, 32)), qend,
+             qmask),
+        ]
+        words, bits, pack_ovf = pack_residual_sections(
+            ch["residuals"], order.astype(jnp.int32),
+            ch["po"].astype(jnp.int32), ch["kinds"], ch["params"],
+            ch["rice_bits"].astype(jnp.int32), block_size, panel_out,
+            pre_res, budget_bits * block_size, live=ok & is_pred,
+            samples=strategy, panel_words=P, fields=fields)
         ch["res_bits"] = jnp.where(is_pred, bits, 0).astype(bits.dtype)
         ch["res_overflow"] = is_pred & (bits > budget_bits * block_size)
         fallback = fallback | ch["res_overflow"] | pack_ovf

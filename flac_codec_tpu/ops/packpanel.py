@@ -116,27 +116,40 @@ def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
 
     hic = hi.reshape(rows * C, CHUNK_T)
     loc = lo.reshape(rows * C, CHUNK_T)
-    r_ids = jnp.arange(CHUNK_R, dtype=jnp.int32)
-    # ONE one-hot for all value planes: the lo word lands at local+1,
-    # which is the hi placement shifted one column — a static column roll
-    # of the matmul result, so oh1 never materializes.  int8 one-hot +
-    # BIASED BYTE planes (8 value planes + 1 ones plane instead of 16
-    # nibble planes — 44% fewer MXU MACs, the stage's bound): s8 x s8 ->
-    # s32 MXU accumulation is always exact for int8 inputs; the -128 bias
-    # (to fit bytes in s8) is undone per column via the ones-plane count,
-    # and byte recombination is exact mod 2^32 by linearity.  The
-    # disjoint-bit-field invariant (span overflow is flagged above) is
-    # what makes the panel *add* equal a bitwise OR.
+    panels = _onehot_words(hic, loc, local, CHUNK_R)
+    return (panels.reshape(rows, C, CHUNK_R),
+            offs.reshape(rows, C), overflow)
+
+
+def _onehot_words(hi: jnp.ndarray, lo: jnp.ndarray, local: jnp.ndarray,
+                  W: int) -> jnp.ndarray:
+    """Place (R_, T_) hi/lo uint32 word contributions at word columns
+    ``local``/``local + 1`` of a (R_, W) uint32 panel via one int8 MXU
+    one-hot matmul.
+
+    ONE one-hot for all value planes: the lo word lands at local+1,
+    which is the hi placement shifted one column — a static column roll
+    of the matmul result, so a second one-hot never materializes.  int8
+    one-hot + BIASED BYTE planes (8 value planes + 1 ones plane instead
+    of 16 nibble planes — 44% fewer MXU MACs, the stage's bound): s8 x
+    s8 -> s32 MXU accumulation is always exact for int8 inputs; the
+    -128 bias (to fit bytes in s8) is undone per column via the
+    ones-plane count, and byte recombination is exact mod 2^32 by
+    linearity.  The caller's disjoint-bit-field invariant is what makes
+    the panel *add* equal a bitwise OR.  ``local`` must be in
+    [0, W-2] for live symbols (out-of-range produces no one-hot match).
+    """
+    r_ids = jnp.arange(W, dtype=jnp.int32)
     oh = (local[:, :, None] == r_ids[None, None, :]).astype(jnp.int8)
 
     byte_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[:, None, None]
 
-    def bytes_(c):  # (CT, T) uint32 -> (4, CT, T) int8 biased byte planes
+    def bytes_(c):  # (R_, T_) uint32 -> (4, R_, T_) int8 biased byte planes
         return (((c[None] >> byte_sh) & jnp.uint32(0xFF)).astype(jnp.int32)
                 - 128).astype(jnp.int8)
 
-    ones = jnp.ones((1,) + hic.shape, jnp.int8)
-    planes = jnp.concatenate([bytes_(hic), bytes_(loc), ones])  # (9, CT, T)
+    ones = jnp.ones((1,) + hi.shape, jnp.int8)
+    planes = jnp.concatenate([bytes_(hi), bytes_(lo), ones])  # (9, R_, T_)
     out9 = jnp.einsum("vct,ctr->vcr", planes, oh,
                       preferred_element_type=jnp.int32)
     corr = out9[8] * 128  # per-column bias correction (live-symbol count)
@@ -147,12 +160,50 @@ def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
 
     hi_w = word(0)
     lo_w = word(4)
-    # place lo at local+1: shift columns right by one (window slot R-1
-    # would spill; chunks needing it exceed span R-2 and are flagged)
-    panels = hi_w + jnp.concatenate(
-        [jnp.zeros((rows * C, 1), jnp.uint32), lo_w[:, :-1]], axis=1)
-    return (panels.reshape(rows, C, CHUNK_R),
-            offs.reshape(rows, C), overflow)
+    # place lo at local+1: shift columns right by one (window slot W-1
+    # would spill; callers guarantee live local <= W-2)
+    return hi_w + jnp.concatenate(
+        [jnp.zeros((hi.shape[0], 1), jnp.uint32), lo_w[:, :-1]], axis=1)
+
+
+FIELD_WINDOW_WORDS = 64  # covers every subframe header field (< 50 words)
+
+
+def pack_fields_window(values: jnp.ndarray, widths: jnp.ndarray,
+                       ends: jnp.ndarray, mask: jnp.ndarray,
+                       W: int = FIELD_WINDOW_WORDS) -> jnp.ndarray:
+    """One-hot MXU placement of per-row header fields into the first W
+    words of each row's panel.
+
+    values/widths/ends/mask: (rows, F) — ``ends`` are PANEL-LOCAL bit
+    offsets; every live field must end within (W-1)*32 bits (geometry-
+    guaranteed for subframe header fields: header + wasted unary +
+    warm-ups + LPC params end < 50 words).  Returns (rows, W) uint32 to
+    be added onto the merged panel's first W words (bit fields disjoint
+    by construction, so the add is an OR).
+
+    Replaces per-field XLA scatter-adds, which execute as a serial
+    ~8 ns/element loop on TPU (~0.6 ms/step for the 69 header fields at
+    B=256 preset -8; the remaining partition-header scatter keeps rows'
+    monotone 64-entry tables on the scatter path).
+    """
+    rows, F = ends.shape
+    ends32 = ends.astype(jnp.int32)
+    w32 = widths.astype(jnp.int32)
+    mask = mask & (ends32 <= (W - 1) * 32) & (w32 > 0)
+    start = ends32 - w32
+    word0 = jax.lax.shift_right_logical(start, jnp.int32(5))
+    sh = start & 31
+    v32 = values.astype(jnp.uint32)
+    e = (sh + w32).astype(jnp.uint32)  # pattern end bit in the 64-window
+    hi = jnp.where(e <= 32,
+                   v32 << ((jnp.uint32(32) - e) & 31),
+                   v32 >> ((e - 32) & 31))
+    lo = jnp.where(e <= 32, jnp.uint32(0), v32 << ((jnp.uint32(64) - e) & 31))
+    hi = jnp.where(mask, hi, 0)
+    lo = jnp.where(mask, lo, 0)
+    local = jnp.where(mask, word0, -2)
+    return _onehot_words(hi, lo, local, W)
 
 
 # ---------------------------------------------------------------------------

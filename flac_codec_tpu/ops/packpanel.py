@@ -140,7 +140,12 @@ def _onehot_words(hi: jnp.ndarray, lo: jnp.ndarray, local: jnp.ndarray,
     [0, W-2] for live symbols (out-of-range produces no one-hot match).
     """
     r_ids = jnp.arange(W, dtype=jnp.int32)
-    oh = (local[:, :, None] == r_ids[None, None, :]).astype(jnp.int8)
+    # the barrier pins the one-hot as a materialized s8 operand: without
+    # it XLA may fuse the comparison into the dot's consumer side and
+    # lower the contraction as a per-element loop reduce on the VPU
+    # (measured 2.7x slower than the MXU dot at production shapes)
+    oh = jax.lax.optimization_barrier(
+        (local[:, :, None] == r_ids[None, None, :]).astype(jnp.int8))
 
     byte_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[:, None, None]
 

@@ -221,7 +221,8 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
         # the flat buffer's row-major content — it becomes the running
         # buffer every remaining field chains onto
         from .packpanel import (CHUNK_T, FIELD_WINDOW_WORDS, chunk_panels,
-                                merge_panels, pack_fields_window)
+                                chunkmerge_panels, merge_panels,
+                                merge_strategy, pack_fields_window)
 
         P = panel_words
         assert P > 0 and out_words >= B * P, (out_words, B, P)
@@ -236,8 +237,11 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
             w_p = jnp.pad(w_p, ((0, 0), (0, tail)), constant_values=1)
             e_p = jnp.pad(e_p, ((0, 0), (0, tail)), mode="edge")
             m_p = jnp.pad(m_p, ((0, 0), (0, tail)))
-        panels, offs, pack_ovf = chunk_panels(v_p, w_p, e_p, m_p)
-        merged = merge_panels(panels, offs, P)
+        if merge_strategy() == "einsum":
+            merged, pack_ovf = chunkmerge_panels(v_p, w_p, e_p, m_p, P)
+        else:
+            panels, offs, pack_ovf = chunk_panels(v_p, w_p, e_p, m_p)
+            merged = merge_panels(panels, offs, P)
 
         # header fields land in the panel's first FIELD_WINDOW_WORDS
         # words via one one-hot MXU pass instead of per-field scatters

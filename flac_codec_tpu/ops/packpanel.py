@@ -57,7 +57,7 @@ def _use_interpret() -> bool:
 def samples_strategy() -> str:
     """Which residual-sample packing strategy the planner should trace.
 
-    "panel" (default): chunked one-hot MXU + Pallas merge — measured 4.7x
+    "panel" (default): chunked one-hot MXU + merge — measured 4.7x
     faster than the flat scatter on v5e at the preset -8 shape.
     FLAC_TPU_PACK_SCATTER=1 forces the round-3 scatter-add path.
     """
@@ -65,21 +65,31 @@ def samples_strategy() -> str:
         else "panel"
 
 
+def merge_strategy() -> str:
+    """How chunk windows land on the row panel in the panel strategy.
+
+    "einsum" (default): the fused 128-aligned-window formulation
+    (chunkmerge_panels) — one one-hot MXU pass at 2R-wide windows plus a
+    block-placement einsum on exact-in-f32 u16 halves; no sequential
+    per-chunk loop at all (27% faster than the Pallas merge on v5e at
+    the preset -8 shape, tools/proto_packv2.py).
+    FLAC_TPU_PACK_MERGE=pallas forces the round-4 chunk_panels +
+    merge_panels pipeline.
+    """
+    return "pallas" if os.environ.get("FLAC_TPU_PACK_MERGE") == "pallas" \
+        else "einsum"
+
+
 # ---------------------------------------------------------------------------
 # 1. chunked one-hot panels (XLA / MXU)
 # ---------------------------------------------------------------------------
 
-def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
-                 ends: jnp.ndarray, mask: jnp.ndarray):
-    """Per-chunk one-hot word panels for one batch of subframe rows.
+def _symbol_geometry(values, widths, ends, mask):
+    """Shared hi/lo word contributions + chunk geometry.
 
-    values/widths/ends/mask: (rows, N); ``ends`` are PANEL-LOCAL bit
-    offsets (bit 0 = panel word 0 bit 31, MSB-first), ``values`` hold the
-    symbol's low ``widths`` bits (leading unary zeros are implicit).
-
-    Returns (panels (rows, C, R) uint32, offs (rows, C) int32 chunk word
-    offsets, overflow (rows,) bool).  Chunks whose written span exceeds
-    R-2 words lose bits (masked by the one-hot window) and flag their row.
+    Returns (hic, loc (rows*C, T) uint32, w0c (rows*C, T) write words,
+    m (rows*C, T) bool, offs (rows*C,) chunk word offsets, overflow
+    (rows, C) bool span flags).
     """
     rows, N = ends.shape
     assert N % CHUNK_T == 0, N
@@ -109,16 +119,79 @@ def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
     big = jnp.int32(1 << 30)
     offs = jnp.min(jnp.where(m, w0c, big), axis=1)
     offs = jnp.where(offs == big, 0, offs)
-    local = w0c - offs[:, None]
-    local = jnp.where(m, local, -2)  # no one-hot match for hi or lo
-    span = jnp.max(jnp.where(m, local, 0), axis=1)
-    overflow = (span > CHUNK_R - 2).reshape(rows, C).any(axis=1)
+    span = jnp.max(jnp.where(m, w0c - offs[:, None], 0), axis=1)
+    overflow = (span > CHUNK_R - 2).reshape(rows, C)
+    return (hi.reshape(rows * C, CHUNK_T), lo.reshape(rows * C, CHUNK_T),
+            w0c, m, offs, overflow)
 
-    hic = hi.reshape(rows * C, CHUNK_T)
-    loc = lo.reshape(rows * C, CHUNK_T)
+
+def chunk_panels(values: jnp.ndarray, widths: jnp.ndarray,
+                 ends: jnp.ndarray, mask: jnp.ndarray):
+    """Per-chunk one-hot word panels for one batch of subframe rows.
+
+    values/widths/ends/mask: (rows, N); ``ends`` are PANEL-LOCAL bit
+    offsets (bit 0 = panel word 0 bit 31, MSB-first), ``values`` hold the
+    symbol's low ``widths`` bits (leading unary zeros are implicit).
+
+    Returns (panels (rows, C, R) uint32, offs (rows, C) int32 chunk word
+    offsets, overflow (rows,) bool).  Chunks whose written span exceeds
+    R-2 words lose bits (masked by the one-hot window) and flag their row.
+    """
+    rows, N = ends.shape
+    C = N // CHUNK_T
+    hic, loc, w0c, m, offs, ovf = _symbol_geometry(values, widths, ends,
+                                                   mask)
+    local = jnp.where(m, w0c - offs[:, None], -2)  # no one-hot match
     panels = _onehot_words(hic, loc, local, CHUNK_R)
     return (panels.reshape(rows, C, CHUNK_R),
-            offs.reshape(rows, C), overflow)
+            offs.reshape(rows, C), ovf.any(axis=1))
+
+
+def chunkmerge_panels(values: jnp.ndarray, widths: jnp.ndarray,
+                      ends: jnp.ndarray, mask: jnp.ndarray, P: int):
+    """Fused scatter-free packer: (rows, N) symbols -> ((rows, P) merged
+    uint32 panels, (rows,) overflow) with NO sequential merge loop.
+
+    Same contract and overflow flags as chunk_panels + merge_panels
+    (tests pin equality on non-overflowing rows).  Two MXU passes:
+
+    1. symbols land in a 2R-wide 128-ALIGNED window per chunk — the
+       (chunk offset mod 128) shift is folded into the one-hot COLUMN,
+       so window word j is panel word (offs & ~127) + j;
+    2. each chunk window lands on the panel's P/128 blocks via a block
+       one-hot einsum over u16 halves: products and partial sums are
+       integers < 2^24 (disjoint bit fields keep per-column half sums
+       < 2^16 across ALL chunks), exact in f32 at precision='highest'.
+    """
+    rows, N = ends.shape
+    C = N // CHUNK_T
+    assert P % 128 == 0 and P >= 2 * CHUNK_R, P
+    BLK = P // 128
+    hic, loc, w0c, m, offs, ovf = _symbol_geometry(values, widths, ends,
+                                                   mask)
+    offs = jnp.clip(offs, 0, P - 2 * CHUNK_R)
+    a0 = offs & ~jnp.int32(127)
+    # in [0, 253] for legal chunks: (offs - a0) <= 127, span <= R-2
+    local = jnp.clip(w0c - a0[:, None], -2, 2 * CHUNK_R - 2)
+    local = jnp.where(m, local, -2)
+    win = _onehot_words(hic, loc, local, 2 * CHUNK_R)  # (rows*C, 2R)
+
+    b0 = jax.lax.shift_right_logical(a0, jnp.int32(7)).reshape(rows, C)
+    ohb = (b0[:, :, None] == jnp.arange(BLK, dtype=jnp.int32)
+           ).astype(jnp.float32)                        # (rows, C, BLK)
+    halves = jnp.stack([(win & jnp.uint32(0xFFFF)).astype(jnp.float32),
+                        (win >> 16).astype(jnp.float32)], axis=1)
+    halves = halves.reshape(rows, C, 2, 2, 128)         # (r, c, h16, k, j)
+    place = jnp.einsum("rcb,rchkj->rbhkj", ohb, halves,
+                       precision="highest")
+    first = place[:, :, :, 0]                  # window words 0..127 -> b0
+    second = place[:, :, :, 1]                 # words 128..255 -> b0 + 1
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(second[:, :1]), second[:, :-1]], axis=1)
+    blk = first + shifted                      # (rows, BLK, 2, 128)
+    merged = (blk[:, :, 0].astype(jnp.uint32)
+              + (blk[:, :, 1].astype(jnp.uint32) << 16))
+    return merged.reshape(rows, P), ovf.any(axis=1)
 
 
 def _onehot_words(hi: jnp.ndarray, lo: jnp.ndarray, local: jnp.ndarray,

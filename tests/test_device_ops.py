@@ -453,3 +453,35 @@ def test_prefix_sum_i32_exact():
     got = np.asarray(prefix_sum_i32(jnp.asarray(x)))
     want = np.cumsum(x.astype(np.int64), axis=1).astype(np.int32)
     assert (got == want).all()
+
+
+def test_chunkmerge_panels_matches_pallas_merge():
+    """The fused einsum packer (round 5) must produce the same merged
+    panels and overflow flags as chunk_panels + merge_panels on every
+    non-overflowing row, across symbol widths, sparsity, and offsets."""
+    from flac_codec_tpu.ops.packpanel import (CHUNK_R, chunk_panels,
+                                              chunkmerge_panels,
+                                              merge_panels_ref)
+    rng = np.random.default_rng(5)
+    N, P = 512, 512
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        rows = 6
+        widths = np.clip(r.poisson(9.5, (rows, N)) + 1, 2, 30).astype(
+            np.int64)
+        ends = np.cumsum(widths, axis=1) + 6
+        vals = r.integers(0, 1 << 16, (rows, N)).astype(np.int64) \
+            & ((1 << widths) - 1)
+        mask = r.random((rows, N)) > 0.05
+        panels, offs, ovf = jax.jit(chunk_panels)(
+            jnp.asarray(vals), jnp.asarray(widths), jnp.asarray(ends),
+            jnp.asarray(mask))
+        ref = merge_panels_ref(np.asarray(panels),
+                               np.clip(np.asarray(offs), 0,
+                                       P - 2 * CHUNK_R), P)
+        got, ovf2 = jax.jit(lambda *a: chunkmerge_panels(*a, P))(
+            jnp.asarray(vals), jnp.asarray(widths), jnp.asarray(ends),
+            jnp.asarray(mask))
+        ok = ~np.asarray(ovf)
+        assert (np.asarray(ovf) == np.asarray(ovf2)).all()
+        assert (np.asarray(got)[ok] == ref[ok]).all()

@@ -215,6 +215,10 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
 
     field_groups = [_norm(g) for g in field_groups]
 
+    # partition-header table values/lengths (shared by both strategies;
+    # see the header-placement comment below)
+    escape_code = (jnp.int64(1) << rb64[:, 0]) - 1         # (B,)
+
     if samples == "panel":
         # chunked one-hot MXU + Pallas merge (ops.packpanel): rows are
         # laid out at panel_words strides, so the merged (B, P) panel IS
@@ -231,7 +235,54 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
                     - jnp.arange(B, dtype=jnp.int64) * (P * 32)).astype(
                         jnp.int32)
         v_p, w_p, e_p, m_p = val, width, row_base[:, None] + ends, mask
-        tail = (-N) % CHUNK_T
+
+        # partition headers ride the one-hot symbol stream as pseudo-
+        # symbol columns, one interleaved before each fine cell (live iff
+        # the cell starts a chosen partition): each header is <= 10 bits
+        # ending right where the partition's first sample code begins
+        # (its length is already folded into that sample via `extra`).
+        # Replaces the (B, 64)-table scatter-adds, whose 4 chained full-
+        # buffer passes measured ~0.57 ms/step at production shapes
+        # (tools/xplane_table.py round 5).
+        from .rice import expand_fine
+
+        cellcum_p = ends.reshape(B, fine_parts, sub)[:, :, -1]
+        part_endcum_p = jnp.zeros((B, MAX_PARTITIONS), ends.dtype)
+        for lvl in range(max_po + 1):
+            step = fine_parts >> lvl
+            lvl_end = cellcum_p[:, step - 1::step]
+            lvl_end = jnp.pad(lvl_end,
+                              ((0, 0), (0, MAX_PARTITIONS - (1 << lvl))))
+            part_endcum_p = jnp.where(po32[:, None] == lvl, lvl_end,
+                                      part_endcum_p)
+        prev_end_p = jnp.concatenate(
+            [jnp.full((B, 1), 6, ends.dtype), part_endcum_p[:, :-1]],
+            axis=1).astype(jnp.int32)                      # (B, 64) partition
+        hdr_len32 = jnp.where(kind_tab == KIND_RICE, rb32,
+                              rb32 + 5)                    # (B, 64)
+        hdr_val32 = jnp.where(
+            kind_tab == KIND_RICE, params.astype(jnp.int32),
+            (escape_code.astype(jnp.int32)[:, None] << 5)
+            | jnp.where(kind_tab == KIND_ESCAPE, params.astype(jnp.int32),
+                        0)).astype(jnp.uint32)
+        pe_fine = expand_fine(prev_end_p, po32, max_po)    # (B, fine_parts)
+        hl_fine = expand_fine(hdr_len32, po32, max_po)
+        hv_fine = expand_fine(hdr_val32, po32, max_po)
+        pm_fine = live_b[:, None] & cell_is_pstart \
+            & (pe_fine + hl_fine <= budget_bits)
+        pe_fine = row_base[:, None] + pe_fine + hl_fine    # panel-local ends
+
+        def ilv(cols, panel, fill=None):
+            grp = panel.reshape(B, fine_parts, sub)
+            return jnp.concatenate([cols[:, :, None].astype(panel.dtype),
+                                    grp], axis=2).reshape(B, -1)
+
+        v_p = ilv(hv_fine, v_p)
+        w_p = ilv(hl_fine, w_p)
+        e_p = ilv(pe_fine, e_p)
+        m_p = ilv(pm_fine, m_p)
+
+        tail = (-(N + fine_parts)) % CHUNK_T
         if tail:  # block sizes not divisible by the chunk width
             v_p = jnp.pad(v_p, ((0, 0), (0, tail)))
             w_p = jnp.pad(w_p, ((0, 0), (0, tail)), constant_values=1)
@@ -267,33 +318,37 @@ def pack_residual_sections(res: jnp.ndarray, order: jnp.ndarray,
             words = scatter(words, gv.astype(jnp.int64),
                             gw.astype(jnp.int64), ge.astype(jnp.int64), gm)
 
-    # 2. partition headers: placed immediately before their first sample's
-    #    code; value = rice param, or escape code + 5-bit escape size /
-    #    constant marker.  Scattered from the (B, 64) partition TABLE, not
-    #    the (B, N) sample panel (<= 64 live headers per row): partition
-    #    p's header ends at (cumulative bits through partition p-1) +
-    #    header length, and the per-partition cumulative comes from the
-    #    sample cumsum's value at each partition's last sample — a strided
+    # 2. partition headers (scatter strategy only — the panel strategy
+    #    interleaved them into the symbol stream above): placed
+    #    immediately before their first sample's code; value = rice
+    #    param, or escape code + 5-bit escape size / constant marker.
+    #    Scattered from the (B, 64) partition TABLE, not the (B, N)
+    #    sample panel (<= 64 live headers per row): partition p's header
+    #    ends at (cumulative bits through partition p-1) + header
+    #    length, and the per-partition cumulative comes from the sample
+    #    cumsum's value at each partition's last sample — a strided
     #    slice of the fine-cell grid, selected over the 7 static levels.
-    escape_code = (jnp.int64(1) << rb64[:, 0]) - 1         # (B,)
-    cellcum = ends.reshape(B, fine_parts, sub)[:, :, -1]   # (B, 64) cum bits
-    part_endcum = jnp.zeros((B, MAX_PARTITIONS), ends.dtype)
-    for lvl in range(max_po + 1):
-        step = fine_parts >> lvl
-        lvl_end = cellcum[:, step - 1::step]               # (B, 2^lvl) static
-        lvl_end = jnp.pad(lvl_end,
-                          ((0, 0), (0, MAX_PARTITIONS - (1 << lvl))))
-        part_endcum = jnp.where(po32[:, None] == lvl, lvl_end, part_endcum)
-    prev_end = jnp.concatenate(
-        [jnp.full((B, 1), 6, ends.dtype), part_endcum[:, :-1]],
-        axis=1).astype(jnp.int64)
-    hdr_end_tab = base_bits[:, None] + prev_end + hdr_len_tab
-    hdr_val_tab = jnp.where(
-        kind_tab == KIND_RICE, k_tab,
-        (escape_code[:, None] << 5)
-        | jnp.where(kind_tab == KIND_ESCAPE, k_tab, 0))
-    hdr_mask = live_b[:, None] & p_live & \
-        (prev_end + hdr_len_tab <= budget_bits)
-    words = scatter(words, hdr_val_tab, hdr_len_tab, hdr_end_tab, hdr_mask)
+    if samples != "panel":
+        cellcum = ends.reshape(B, fine_parts, sub)[:, :, -1]  # (B, 64) cum
+        part_endcum = jnp.zeros((B, MAX_PARTITIONS), ends.dtype)
+        for lvl in range(max_po + 1):
+            step = fine_parts >> lvl
+            lvl_end = cellcum[:, step - 1::step]           # (B, 2^lvl)
+            lvl_end = jnp.pad(lvl_end,
+                              ((0, 0), (0, MAX_PARTITIONS - (1 << lvl))))
+            part_endcum = jnp.where(po32[:, None] == lvl, lvl_end,
+                                    part_endcum)
+        prev_end = jnp.concatenate(
+            [jnp.full((B, 1), 6, ends.dtype), part_endcum[:, :-1]],
+            axis=1).astype(jnp.int64)
+        hdr_end_tab = base_bits[:, None] + prev_end + hdr_len_tab
+        hdr_val_tab = jnp.where(
+            kind_tab == KIND_RICE, k_tab,
+            (escape_code[:, None] << 5)
+            | jnp.where(kind_tab == KIND_ESCAPE, k_tab, 0))
+        hdr_mask = live_b[:, None] & p_live & \
+            (prev_end + hdr_len_tab <= budget_bits)
+        words = scatter(words, hdr_val_tab, hdr_len_tab, hdr_end_tab,
+                        hdr_mask)
 
     return words, bit_len.astype(jnp.int64), pack_ovf

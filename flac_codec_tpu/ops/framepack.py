@@ -66,17 +66,30 @@ def crc16_inner(words: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
     int8 matmul with exact int32 accumulation, then ``& 1``.  Replaces
     the 32-pass masked-XOR sweep over the slot panel (~64 full-panel
     reads/writes of HBM traffic) with one bit-plane expansion plus a
-    (B, W*32) x (W*32, 16) MXU pass."""
+    (B, W*32) x (W*32, 16) MXU pass.
+
+    The expansion runs on the u8 BYTE view of the slot panel (one s8
+    write per bit from a 1-byte read) instead of shifting the u32 words
+    32 ways: the word form materialized a u32[B, W, 32] broadcast plus a
+    full-width u32 read in the convert fusion (~860 MB of HBM traffic
+    per step at B=256/W=5248, measured ~0.5 ms — tools/xplane_table.py
+    round 5); the byte form moves ~64 MB.  The static weight table is
+    reordered to match the byte-LSB expansion order."""
     B, W = words.shape
-    # static (W*32, 16) weight bit-planes; table position p = w*32 + j
-    # already weights word w's bit j MSB-first, matching the expansion
-    t = np.asarray(table, np.uint16).reshape(-1)
-    planes = ((t[:, None].astype(np.uint32)
+    # byte k of a little-endian u32 view holds word bits [8k, 8k+8)
+    # counting from the LSB; bit i of that byte is stream position
+    # w*32 + 31 - 8k - i.  Reorder the static table to this layout.
+    t = np.asarray(table, np.uint16).reshape(W, 32)
+    k = np.arange(4)[:, None]
+    i = np.arange(8)[None, :]
+    t2 = t[:, (31 - 8 * k - i).reshape(-1)].reshape(-1)  # (W*32,) in
+    planes = ((t2[:, None].astype(np.uint32)            # byte-expansion
                >> np.arange(16)[None, :]) & 1).astype(np.int8)
-    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
-    bits = (jax.lax.shift_right_logical(words[:, :, None],
-                                        shifts[None, None, :])
-            & jnp.uint32(1)).astype(jnp.int8).reshape(B, W * 32)
+    byts = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (B, W, 4)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (jax.lax.shift_right_logical(byts[..., None],
+                                        shifts[None, None, None, :])
+            & jnp.uint8(1)).astype(jnp.int8).reshape(B, W * 32)
     counts = jax.lax.dot_general(
         bits, jnp.asarray(planes), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)          # (B, 16) exact

@@ -195,7 +195,7 @@ def _pack_plan_channels(plan: dict, block_size: int, budget_bits: int):
     panel strategy (default, see ops.packpanel) the slot stride includes
     the merge kernel's aligned-window slack."""
     from .bitpack import pack_residual_sections
-    from .packpanel import CHUNK_R, samples_strategy
+    from .packpanel import MERGE_SLACK, samples_strategy
 
     channels = plan["channels"]
     S = len(channels)
@@ -203,7 +203,7 @@ def _pack_plan_channels(plan: dict, block_size: int, budget_bits: int):
     strategy = samples_strategy()
     per_sub_words = (budget_bits * block_size + 31) // 32 + 2
     if strategy == "panel":
-        per_sub_words = (per_sub_words + 2 * CHUNK_R + 127) // 128 * 128
+        per_sub_words = (per_sub_words + MERGE_SLACK + 127) // 128 * 128
 
     # per-slot packing: slot s's rows live at per_sub_words strides in
     # their own (B * per_sub_words) region, concatenated slot-major so

@@ -106,11 +106,11 @@ def subframe_panel_words(block_size: int, budget_bits: int) -> int:
     """Words per subframe panel (P): field margin (header 8 + wasted unary
     <=32 + warm-ups <=32*32 + LPC params <=9+32*15 < 1615 bits = 51 words)
     + the residual budget + the merge kernel's aligned-window slack
-    (2*CHUNK_R), rounded to a lane tile."""
-    from .packpanel import CHUNK_R
+    (MERGE_SLACK), rounded to a lane tile."""
+    from .packpanel import MERGE_SLACK
 
     per_sub = (budget_bits * block_size + 31) // 32
-    need = per_sub + 52 + 2 * CHUNK_R
+    need = per_sub + 52 + MERGE_SLACK
     return (need + 127) // 128 * 128
 
 

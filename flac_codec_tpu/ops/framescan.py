@@ -47,9 +47,17 @@ alternative movement primitive measures similarly slow at this scale
 gather: ~0.7 s per 8.5M elements), and Mosaic's in-kernel options cannot
 express the per-lane placement either: tpu.dynamic_gather is limited to
 a single source vreg (8 sublanes) along the gather dimension, and
-per-lane dynamic row writes are not supported at all.  Until a fast
-per-lane scatter/gather lands, BatchDecoder keeps the native host parser
-as the default production path and this mode stays opt-in
+per-lane dynamic row writes are not supported at all.  Round 5 measured
+the last two untried primitives at the production emission shape
+(88064 x 1024; tools/profile_colsort.py): columnwise axis-0 sort =
+565 ms (9x better than flat, still ~20x short), per-lane variable
+rotate via 14 select+roll passes = 267 ms, and even a plain int32
+transpose of the panel = 300 ms (1.2 GB/s effective) — every XLA
+movement primitive at this shape runs 10-200x off HBM bandwidth on
+this backend, so no composition of them can beat the native host
+parser (~29 ms per 1024-frame batch).  Until the backend's movement
+lowering improves, BatchDecoder keeps the native host parser as the
+default production path and this mode stays opt-in
 (FLAC_TPU_DEVICE_PARSE=1); the kernel remains fully tested and
 bit-exact, and is the complete device half of SURVEY §7's "parallel
 unary scanning" design.

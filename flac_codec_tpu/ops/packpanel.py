@@ -46,8 +46,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK_T = 128   # symbols per one-hot chunk
-CHUNK_R = 128   # words per chunk window (covers spans <= R-2 = 126 words)
+CHUNK_T = 64    # symbols per one-hot chunk
+CHUNK_R = 64    # words per chunk window (covers spans <= R-2 = 62 words)
+# Round 5: T=128/R=128 -> 64/64 halves both the materialized one-hot
+# (chunks x T x 2R s8) and the placement einsum's read/write traffic —
+# the pack stage is bandwidth-bound (tools/xplane_table.py: one-hot
+# build + einsums + relayout = ~2.4 ms/step of the 5.4 ms step at
+# T=128).  The span cap tightens to 62 words = 31 bits/symbol average
+# per 64-symbol chunk; denser chunks flag pack_ovf and the frame falls
+# back to host encoding (same guard as before, tighter threshold —
+# escape symbols cap at ~25 bits for 24-bit audio, so real streams
+# stay far below it).
+BLOCK_W = 64    # einsum block-placement granularity (window = 2 blocks)
+# panel slack callers must budget past the largest in-budget offset so
+# clamped windows stay in-row on both merge paths (the Pallas path's
+# 128-aligned window is the wider)
+MERGE_SLACK = 128 + max(CHUNK_R, 128)
 
 
 def _use_interpret() -> bool:
@@ -165,30 +179,32 @@ def chunkmerge_panels(values: jnp.ndarray, widths: jnp.ndarray,
     """
     rows, N = ends.shape
     C = N // CHUNK_T
-    assert P % 128 == 0 and P >= 2 * CHUNK_R, P
-    BLK = P // 128
+    W = 2 * BLOCK_W                            # chunk window (2 blocks)
+    assert P % BLOCK_W == 0 and P >= W, P
+    assert CHUNK_R <= BLOCK_W                  # span + align slop fit W
+    BLK = P // BLOCK_W
     hic, loc, w0c, m, offs, ovf = _symbol_geometry(values, widths, ends,
                                                    mask)
-    offs = jnp.clip(offs, 0, P - 2 * CHUNK_R)
-    a0 = offs & ~jnp.int32(127)
-    # in [0, 253] for legal chunks: (offs - a0) <= 127, span <= R-2
-    local = jnp.clip(w0c - a0[:, None], -2, 2 * CHUNK_R - 2)
+    offs = jnp.clip(offs, 0, P - W)
+    a0 = offs & ~jnp.int32(BLOCK_W - 1)
+    # in [0, W-3] for legal chunks: (offs - a0) <= BLOCK_W-1, span <= R-2
+    local = jnp.clip(w0c - a0[:, None], -2, W - 2)
     local = jnp.where(m, local, -2)
-    win = _onehot_words(hic, loc, local, 2 * CHUNK_R)  # (rows*C, 2R)
+    win = _onehot_words(hic, loc, local, W)    # (rows*C, W)
 
-    b0 = jax.lax.shift_right_logical(a0, jnp.int32(7)).reshape(rows, C)
+    b0 = (a0 // BLOCK_W).reshape(rows, C)
     ohb = (b0[:, :, None] == jnp.arange(BLK, dtype=jnp.int32)
            ).astype(jnp.float32)                        # (rows, C, BLK)
     halves = jnp.stack([(win & jnp.uint32(0xFFFF)).astype(jnp.float32),
                         (win >> 16).astype(jnp.float32)], axis=1)
-    halves = halves.reshape(rows, C, 2, 2, 128)         # (r, c, h16, k, j)
+    halves = halves.reshape(rows, C, 2, 2, BLOCK_W)     # (r, c, h16, k, j)
     place = jnp.einsum("rcb,rchkj->rbhkj", ohb, halves,
                        precision="highest")
-    first = place[:, :, :, 0]                  # window words 0..127 -> b0
-    second = place[:, :, :, 1]                 # words 128..255 -> b0 + 1
+    first = place[:, :, :, 0]                  # window block 0 -> b0
+    second = place[:, :, :, 1]                 # window block 1 -> b0 + 1
     shifted = jnp.concatenate(
         [jnp.zeros_like(second[:, :1]), second[:, :-1]], axis=1)
-    blk = first + shifted                      # (rows, BLK, 2, 128)
+    blk = first + shifted                      # (rows, BLK, 2, BLOCK_W)
     merged = (blk[:, :, 0].astype(jnp.uint32)
               + (blk[:, :, 1].astype(jnp.uint32) << 16))
     return merged.reshape(rows, P), ovf.any(axis=1)
@@ -291,15 +307,22 @@ def pack_fields_window(values: jnp.ndarray, widths: jnp.ndarray,
 _RB = 8  # rows per program (VMEM sublane tile)
 
 
+# Mosaic dynamic lane slices must be provably 128-aligned, so the merge
+# kernel's aligned window is 128 (alignment slop) + CHUNK_R (span),
+# rounded to a vreg multiple
+_MERGE_WIN = 128 + max(CHUNK_R, 128)
+
+
 def _merge_kernel(C: int, P: int):
     def kernel(offs_ref, panels_ref, out_ref):
         # Mosaic requires dynamic lane indices provably 128-aligned, so
-        # each chunk window lands via an aligned 2R-wide slice: the window
-        # is zero-padded to 2R, lane-rotated by (off mod 128), and added
-        # at the 128-aligned base (tpu.dynamic_rotate handles the rest).
+        # each chunk window lands via an aligned _MERGE_WIN-wide slice:
+        # the window is zero-padded, lane-rotated by (off mod 128), and
+        # added at the 128-aligned base (tpu.dynamic_rotate does the
+        # rest).
         g = pl.program_id(0)
         out_ref[...] = jnp.zeros_like(out_ref)
-        zpad = jnp.zeros((1, CHUNK_R), jnp.uint32)
+        zpad = jnp.zeros((1, _MERGE_WIN - CHUNK_R), jnp.uint32)
 
         def row(r, _):
             def chunk(c, _):
@@ -310,8 +333,8 @@ def _merge_kernel(C: int, P: int):
                 padded = jnp.concatenate([win, zpad], axis=1)
                 rolled = pltpu.roll(padded, d, axis=1)
                 a0 = pl.multiple_of(a0, 128)
-                cur = out_ref[pl.ds(r, 1), pl.ds(a0, 2 * CHUNK_R)]
-                out_ref[pl.ds(r, 1), pl.ds(a0, 2 * CHUNK_R)] = cur + rolled
+                cur = out_ref[pl.ds(r, 1), pl.ds(a0, _MERGE_WIN)]
+                out_ref[pl.ds(r, 1), pl.ds(a0, _MERGE_WIN)] = cur + rolled
                 return jnp.int32(0)
 
             return jax.lax.fori_loop(jnp.int32(0), jnp.int32(C), chunk,
@@ -335,10 +358,10 @@ def merge_panels(panels: jnp.ndarray, offs: jnp.ndarray, P: int,
     if interpret is None:
         interpret = _use_interpret()
     # invalid (overflowing / fallback) rows may carry junk offsets; clamp
-    # so the aligned 2R-wide dynamic-slice add can never leave the row's
-    # own panel (the caller sizes P with a 2*CHUNK_R slack)
-    assert P >= 2 * CHUNK_R, P
-    offs = jnp.clip(offs, 0, P - 2 * CHUNK_R).astype(jnp.int32)
+    # so the aligned window-wide dynamic-slice add can never leave the
+    # row's own panel (the caller sizes P with a _MERGE_WIN slack)
+    assert P >= _MERGE_WIN, P
+    offs = jnp.clip(offs, 0, P - _MERGE_WIN).astype(jnp.int32)
     pad = (-rows) % _RB
     if pad:
         panels = jnp.pad(panels, ((0, pad), (0, 0), (0, 0)))

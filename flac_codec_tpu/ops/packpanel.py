@@ -190,24 +190,74 @@ def chunkmerge_panels(values: jnp.ndarray, widths: jnp.ndarray,
     # in [0, W-3] for legal chunks: (offs - a0) <= BLOCK_W-1, span <= R-2
     local = jnp.clip(w0c - a0[:, None], -2, W - 2)
     local = jnp.where(m, local, -2)
-    win = _onehot_words(hic, loc, local, W)    # (rows*C, W)
+    out9 = _onehot_planes(hic, loc, local, W)  # (9, rows*C, W) s32
 
+    # block placement runs on the RAW byte-count planes and the byte
+    # recombination happens after it: both are linear, placement only
+    # relocates window words to blocks, and per-block plane sums stay
+    # integers < 2^24 (<= C chunks x 64 symbols x 255 + bias counts), so
+    # the f32 einsum is exact.  Recombining last removes the u32 window
+    # materialization, its relayout copy, and the 16-bit half splits the
+    # earlier formulation paid between the two einsums (measured ~0.5
+    # ms/step of pure layout copies, tools/xplane_table.py round 5).
     b0 = (a0 // BLOCK_W).reshape(rows, C)
     ohb = (b0[:, :, None] == jnp.arange(BLK, dtype=jnp.int32)
            ).astype(jnp.float32)                        # (rows, C, BLK)
-    halves = jnp.stack([(win & jnp.uint32(0xFFFF)).astype(jnp.float32),
-                        (win >> 16).astype(jnp.float32)], axis=1)
-    halves = halves.reshape(rows, C, 2, 2, BLOCK_W)     # (r, c, h16, k, j)
-    place = jnp.einsum("rcb,rchkj->rbhkj", ohb, halves,
-                       precision="highest")
-    first = place[:, :, :, 0]                  # window block 0 -> b0
-    second = place[:, :, :, 1]                 # window block 1 -> b0 + 1
+    o9 = out9.reshape(9, rows, C, W).astype(jnp.float32)
+    place9 = jnp.einsum("rcb,vrcj->rbvj", ohb, o9,
+                        precision="highest")            # (r, BLK, 9, W)
+    corr = place9[:, :, 8] * 128.0             # bias: placed ones-counts
+
+    def word(j0):  # byte recombination, exact mod 2^32 by linearity
+        return sum(((place9[:, :, j0 + i] + corr).astype(jnp.int32)
+                    .astype(jnp.uint32) << jnp.uint32(8 * i))
+                   for i in range(4))
+
+    hi_w = word(0)                             # (rows, BLK, W) u32
+    lo_w = word(4)
+    # lo lands at local+1: one window-word shift, POST-placement (the
+    # placement maps window word j to panel word a0 + j, so the +1 word
+    # commutes; live locals are <= W-2 so nothing shifts out)
+    lo_sh = jnp.concatenate(
+        [jnp.zeros_like(lo_w[:, :, :1]), lo_w[:, :, :-1]], axis=2)
+    win_w = hi_w + lo_sh                       # disjoint bit fields
+    first = win_w[:, :, :BLOCK_W]              # window block 0 -> b0
+    second = win_w[:, :, BLOCK_W:]             # window block 1 -> b0 + 1
     shifted = jnp.concatenate(
         [jnp.zeros_like(second[:, :1]), second[:, :-1]], axis=1)
-    blk = first + shifted                      # (rows, BLK, 2, BLOCK_W)
-    merged = (blk[:, :, 0].astype(jnp.uint32)
-              + (blk[:, :, 1].astype(jnp.uint32) << 16))
+    merged = first + shifted                   # (rows, BLK, BLOCK_W)
     return merged.reshape(rows, P), ovf.any(axis=1)
+
+
+def _onehot_planes(hi: jnp.ndarray, lo: jnp.ndarray, local: jnp.ndarray,
+                   W: int) -> jnp.ndarray:
+    """Raw byte-count planes of the one-hot placement: (9, R_, W) int32.
+
+    Planes 0-3 are the hi word's biased-byte column sums, 4-7 the lo
+    word's, plane 8 the live-symbol count per column (for undoing the
+    -128 bias).  Callers recombine bytes into u32 words — either
+    directly (:func:`_onehot_words`) or after further linear placement
+    (:func:`chunkmerge_panels`), which is exact mod 2^32 by linearity.
+    NOTE: the lo planes are placed at column ``local`` like the hi
+    planes; the +1 word shift is the caller's job."""
+    r_ids = jnp.arange(W, dtype=jnp.int32)
+    # the barrier pins the one-hot as a materialized s8 operand: without
+    # it XLA may fuse the comparison into the dot's consumer side and
+    # lower the contraction as a per-element loop reduce on the VPU
+    # (measured 2.7x slower than the MXU dot at production shapes)
+    oh = jax.lax.optimization_barrier(
+        (local[:, :, None] == r_ids[None, None, :]).astype(jnp.int8))
+
+    byte_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[:, None, None]
+
+    def bytes_(c):  # (R_, T_) uint32 -> (4, R_, T_) int8 biased byte planes
+        return (((c[None] >> byte_sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+                - 128).astype(jnp.int8)
+
+    ones = jnp.ones((1,) + hi.shape, jnp.int8)
+    planes = jnp.concatenate([bytes_(hi), bytes_(lo), ones])  # (9, R_, T_)
+    return jnp.einsum("vct,ctr->vcr", planes, oh,
+                      preferred_element_type=jnp.int32)
 
 
 def _onehot_words(hi: jnp.ndarray, lo: jnp.ndarray, local: jnp.ndarray,
@@ -228,24 +278,7 @@ def _onehot_words(hi: jnp.ndarray, lo: jnp.ndarray, local: jnp.ndarray,
     the panel *add* equal a bitwise OR.  ``local`` must be in
     [0, W-2] for live symbols (out-of-range produces no one-hot match).
     """
-    r_ids = jnp.arange(W, dtype=jnp.int32)
-    # the barrier pins the one-hot as a materialized s8 operand: without
-    # it XLA may fuse the comparison into the dot's consumer side and
-    # lower the contraction as a per-element loop reduce on the VPU
-    # (measured 2.7x slower than the MXU dot at production shapes)
-    oh = jax.lax.optimization_barrier(
-        (local[:, :, None] == r_ids[None, None, :]).astype(jnp.int8))
-
-    byte_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[:, None, None]
-
-    def bytes_(c):  # (R_, T_) uint32 -> (4, R_, T_) int8 biased byte planes
-        return (((c[None] >> byte_sh) & jnp.uint32(0xFF)).astype(jnp.int32)
-                - 128).astype(jnp.int8)
-
-    ones = jnp.ones((1,) + hi.shape, jnp.int8)
-    planes = jnp.concatenate([bytes_(hi), bytes_(lo), ones])  # (9, R_, T_)
-    out9 = jnp.einsum("vct,ctr->vcr", planes, oh,
-                      preferred_element_type=jnp.int32)
+    out9 = _onehot_planes(hi, lo, local, W)
     corr = out9[8] * 128  # per-column bias correction (live-symbol count)
 
     def word(j0):  # carries across byte boundaries propagate correctly

@@ -87,3 +87,88 @@ def test_mt_full_reader_path():
     n = 220_000
     data = _encode(n)
     assert verify(io.BytesIO(data)) is Verified.MD5_MATCH
+
+
+@pytest.mark.parametrize("opts,bps,seed", [
+    (Options.best(), 16, 3),      # LPC 12 / partition order 6
+    (Options(), 16, 4),           # default preset, mid-side
+    (Options.best(), 24, 5),      # rice2 (5-bit params) path
+    (Options.fast(), 8, 6),       # 8-bit samples
+], ids=["best", "default", "best-24bit", "fast-8bit"])
+def test_mt_equals_sequential_presets(opts, bps, seed):
+    """MT speculation must stay bit-identical across predictor types,
+    partition orders, rice2, and sample widths (the earlier tests only
+    covered the fast preset at 16-bit)."""
+    n = 220_000
+    data = _encode(n, seed=seed, opts=opts.no_seektable(), bps=bps)
+    assert len(data) > (1 << 18)
+    out1, sizes1, end1, err1 = _bulk(data, 1, n)
+    out4, sizes4, end4, err4 = _bulk(data, 4, n)
+    assert (err1, end1) == (err4, end4)
+    np.testing.assert_array_equal(sizes1, sizes4)
+    np.testing.assert_array_equal(out1, out4)
+
+
+def test_mt_equals_sequential_structured_signal():
+    """Wasted bits + silent stretches + constant subframes: the subframe
+    types the noise generator never produces."""
+    n = 220_000
+    rng = np.random.default_rng(9)
+    t = np.arange(n)
+    l = ((2000 * np.sin(t / 29.0)).astype(np.int64) >> 0 << 4)  # wasted 4
+    r = (900 * np.sin(t / 13.0)).astype(np.int64)
+    l[40_000:80_000] = 0                                        # silence
+    r[100_000:140_000] = -777                                   # constant
+    inter = np.empty(2 * n, np.int64)
+    inter[0::2], inter[1::2] = l, r
+    buf = io.BytesIO()
+    w = FlacSampleWriter(buf, Options(), 44100, 16, 2, total_samples=n)
+    w.write(inter)
+    w.finalize()
+    data = buf.getvalue()
+    out1, sizes1, end1, err1 = _bulk(data, 1, n)
+    out4, sizes4, end4, err4 = _bulk(data, 4, n)
+    assert (err1, end1) == (err4, end4)
+    np.testing.assert_array_equal(sizes1, sizes4)
+    np.testing.assert_array_equal(out1, out4)
+
+
+def test_mt_equals_sequential_early_corruption():
+    """Bit flips in the FIRST half (speculation anchors land past the
+    corruption) must produce the same end/error/samples as sequential."""
+    n = 220_000
+    data = _encode(n)
+    rng = np.random.default_rng(17)
+    for _ in range(8):
+        corrupt = bytearray(data)
+        pos = int(rng.integers(8192, len(data) // 2))
+        corrupt[pos] ^= 1 << int(rng.integers(8))
+        r1 = _bulk(bytes(corrupt), 1, n)
+        r4 = _bulk(bytes(corrupt), 4, n)
+        assert (r1[2], r1[3]) == (r4[2], r4[3])
+        np.testing.assert_array_equal(r1[1], r4[1])
+        np.testing.assert_array_equal(r1[0], r4[0])
+
+
+def test_mt_truncated_stream():
+    """Streams cut mid-frame: same partial output and end position."""
+    n = 220_000
+    data = _encode(n)
+    for cut in (len(data) // 3, len(data) // 2, len(data) - 17):
+        part = data[:cut]
+        r1 = _bulk(part, 1, None)
+        r4 = _bulk(part, 4, None)
+        assert (r1[2], r1[3]) == (r4[2], r4[3])
+        np.testing.assert_array_equal(r1[1], r4[1])
+        np.testing.assert_array_equal(r1[0], r4[0])
+
+
+def test_mt_below_gate_small_stream():
+    """Below the 256 KiB MT gate both paths are sequential — equality is
+    trivial but pins that small streams don't regress through the gate."""
+    n = 30_000
+    data = _encode(n, seed=21)
+    r1 = _bulk(data, 1, n)
+    r8 = _bulk(data, 8, n)
+    assert (r1[2], r1[3]) == (r8[2], r8[3])
+    np.testing.assert_array_equal(r1[0], r8[0])

@@ -190,7 +190,34 @@ def chunkmerge_panels(values: jnp.ndarray, widths: jnp.ndarray,
     # in [0, W-3] for legal chunks: (offs - a0) <= BLOCK_W-1, span <= R-2
     local = jnp.clip(w0c - a0[:, None], -2, W - 2)
     local = jnp.where(m, local, -2)
-    out9 = _onehot_planes(hic, loc, local, W)  # (9, rows*C, W) s32
+
+    # split one-hot: local = BLOCK_W*q + r with q in {0,1}; the window
+    # placement factors as (plane x q-mask) @ onehot(r), which halves the
+    # materialized one-hot (the pack stage's largest HBM tensor, measured
+    # ~0.9 ms/step at (c, t, W) s8 — tools/xplane_table.py round 5) at
+    # the same MAC count: 18 masked planes against a (c, t, W/2) one-hot.
+    H = BLOCK_W
+    lr = jnp.where(local >= 0, local & (H - 1), -2)
+    r_ids = jnp.arange(H, dtype=jnp.int32)
+    # the barrier pins the one-hot as a materialized s8 operand (see
+    # _onehot_planes)
+    oh = jax.lax.optimization_barrier(
+        (lr[:, :, None] == r_ids[None, None, :]).astype(jnp.int8))
+    byte_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[:, None, None]
+
+    def bytes_(c):
+        return (((c[None] >> byte_sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+                - 128).astype(jnp.int8)
+
+    ones = jnp.ones((1,) + hic.shape, jnp.int8)
+    p9 = jnp.concatenate([bytes_(hic), bytes_(loc), ones])   # (9, c, t)
+    in_q0 = ((local >= 0) & (local < H)).astype(jnp.int8)[None]
+    in_q1 = (local >= H).astype(jnp.int8)[None]
+    # masked-off symbols contribute 0 to both the byte sums and the
+    # ones-count plane of their non-half, so bias correction stays exact
+    p18 = jnp.concatenate([p9 * in_q0, p9 * in_q1])          # (18, c, t)
+    out18 = jnp.einsum("vct,ctr->vcr", p18, oh,
+                       preferred_element_type=jnp.int32)     # (18, c, H)
 
     # block placement runs on the RAW byte-count planes and the byte
     # recombination happens after it: both are linear, placement only
@@ -203,18 +230,19 @@ def chunkmerge_panels(values: jnp.ndarray, widths: jnp.ndarray,
     b0 = (a0 // BLOCK_W).reshape(rows, C)
     ohb = (b0[:, :, None] == jnp.arange(BLK, dtype=jnp.int32)
            ).astype(jnp.float32)                        # (rows, C, BLK)
-    o9 = out9.reshape(9, rows, C, W).astype(jnp.float32)
-    place9 = jnp.einsum("rcb,vrcj->rbvj", ohb, o9,
-                        precision="highest")            # (r, BLK, 9, W)
-    corr = place9[:, :, 8] * 128.0             # bias: placed ones-counts
+    o18 = out18.reshape(18, rows, C, H).astype(jnp.float32)
+    place18 = jnp.einsum("rcb,vrcj->rbvj", ohb, o18,
+                         precision="highest")           # (r, BLK, 18, H)
 
-    def word(j0):  # byte recombination, exact mod 2^32 by linearity
-        return sum(((place9[:, :, j0 + i] + corr).astype(jnp.int32)
-                    .astype(jnp.uint32) << jnp.uint32(8 * i))
-                   for i in range(4))
+    def word(q, j0):  # byte recombination, exact mod 2^32 by linearity
+        corr = place18[:, :, 9 * q + 8] * 128.0  # placed ones-counts
+        return sum(((place18[:, :, 9 * q + j0 + i] + corr)
+                    .astype(jnp.int32).astype(jnp.uint32)
+                    << jnp.uint32(8 * i)) for i in range(4))
 
-    hi_w = word(0)                             # (rows, BLK, W) u32
-    lo_w = word(4)
+    # window word BLOCK_W*q + j: concatenate the two halves
+    hi_w = jnp.concatenate([word(0, 0), word(1, 0)], axis=2)  # (r, BLK, W)
+    lo_w = jnp.concatenate([word(0, 4), word(1, 4)], axis=2)
     # lo lands at local+1: one window-word shift, POST-placement (the
     # placement maps window word j to panel word a0 + j, so the +1 word
     # commutes; live locals are <= W-2 so nothing shifts out)
